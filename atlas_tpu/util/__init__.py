@@ -1,0 +1,7 @@
+from .config import Config
+from .factory import Factory
+from . import constants
+from . import geometry
+from .topology import Topology
+
+__all__ = ["Config", "Factory", "constants", "geometry", "Topology"]
