@@ -1,0 +1,13 @@
+from .mesh import Mesh
+from .structured import StructuredMeshGenerator, generate_mesh
+from .edges import build_edges, build_node_to_edge_connectivity
+from .dual import build_median_dual_mesh
+
+__all__ = [
+    "Mesh",
+    "StructuredMeshGenerator",
+    "generate_mesh",
+    "build_edges",
+    "build_node_to_edge_connectivity",
+    "build_median_dual_mesh",
+]

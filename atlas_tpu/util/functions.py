@@ -25,53 +25,71 @@ class SolidBodyRotation:
     by test_fvm_nabla_validation.cc.
     """
 
-    def __init__(self, beta: float = 0.0, radius: float = EARTH_RADIUS, u0: float = 20.0):
+    def __init__(self, beta: float = 0.0, radius: float = EARTH_RADIUS, u0: float = 1.0):
+        """beta in DEGREES (reference convention, SolidBodyRotation.cc:23)."""
         self.beta = float(beta)
         self.radius = float(radius)
         self.u0 = float(u0)
+        self._cosb = np.cos(self.beta * DEG2RAD)
+        self._sinb = np.sin(self.beta * DEG2RAD)
 
     def wind(self, lon, lat):
         x = lon * DEG2RAD
         y = lat * DEG2RAD
-        cosb, sinb = np.cos(self.beta), np.sin(self.beta)
-        u = self.u0 * (np.cos(y) * cosb + np.sin(y) * np.cos(x) * sinb)
-        v = -self.u0 * np.sin(x) * sinb
+        u = self.u0 * (np.cos(y) * self._cosb + np.cos(x) * np.sin(y) * self._sinb)
+        v = -self.u0 * np.sin(x) * self._sinb
         return u, v
 
     def wind_magnitude(self, lon, lat):
         u, v = self.wind(lon, lat)
         return np.sqrt(u * u + v * v)
 
-    def vorticity(self, lon, lat):
+    def wind_magnitude_squared(self, lon, lat):
+        u, v = self.wind(lon, lat)
+        return u * u + v * v
+
+    def vordiv(self, lon, lat):
+        """Analytic (vorticity, divergence) (SolidBodyRotation.cc:55-78)."""
         x = lon * DEG2RAD
         y = lat * DEG2RAD
-        cosb, sinb = np.cos(self.beta), np.sin(self.beta)
-        return 2.0 * self.u0 / self.radius * (
-            -np.cos(x) * np.cos(y) * sinb + np.sin(y) * cosb
+        cos_x, sin_x = np.cos(x), np.sin(x)
+        cos_y, sin_y = np.cos(y), np.sin(y)
+        cosb, sinb = self._cosb, self._sinb
+        ddx_u = -sin_x * sin_y * sinb
+        ddy_cosy_v = (-sin_x * sinb) * (-sin_y)
+        ddx_v = -cos_x * sinb
+        ddy_cosy_u = (
+            2 * cos_y * (-sin_y) * cosb
+            + (-sin_y) * cos_x * sin_y * sinb
+            + cos_y * cos_x * cos_y * sinb
         )
+        metric = self.u0 / (self.radius * cos_y)
+        div = metric * (ddx_u + ddy_cosy_v)
+        vor = metric * (ddx_v - ddy_cosy_u)
+        return vor, div
+
+    def vorticity(self, lon, lat):
+        return self.vordiv(lon, lat)[0]
 
     def divergence(self, lon, lat):
-        return np.zeros_like(np.asarray(lon, dtype=np.float64) * np.asarray(lat))
+        return self.vordiv(lon, lat)[1]
 
-    def wind_magnitude_gradient(self, lon, lat):
-        """d|V|/dx, d|V|/dy (per meter, on the sphere of self.radius)."""
+    def wind_magnitude_squared_gradient(self, lon, lat):
+        """d(u^2+v^2)/dx, /dy per meter on the sphere (reference
+        windMagnitudeSquaredGradient)."""
         x = lon * DEG2RAD
         y = lat * DEG2RAD
-        cosb, sinb = np.cos(self.beta), np.sin(self.beta)
-        u = self.u0 * (np.cos(y) * cosb + np.sin(y) * np.cos(x) * sinb)
-        v = -self.u0 * np.sin(x) * sinb
-        mag = np.sqrt(u * u + v * v)
-        dudx = self.u0 * (-np.sin(y) * np.sin(x) * sinb)  # du/dlon
-        dudy = self.u0 * (-np.sin(y) * cosb + np.cos(y) * np.cos(x) * sinb)  # du/dlat
-        dvdx = -self.u0 * np.cos(x) * sinb
-        dvdy = np.zeros_like(v)
-        safe = np.where(mag > 0, mag, 1.0)
-        dmdx = (u * dudx + v * dvdx) / safe
-        dmdy = (u * dudy + v * dvdy) / safe
-        # convert to per-meter: x-derivative has 1/(R cos y) metric
+        cosb, sinb = self._cosb, self._sinb
+        u = np.cos(y) * cosb + np.cos(x) * np.sin(y) * sinb
+        v = -np.sin(x) * sinb
+        dudx = -np.sin(x) * np.sin(y) * sinb
+        dudy = -np.sin(y) * cosb + np.cos(x) * np.cos(y) * sinb
+        dvdx = -np.cos(x) * sinb
         metric_x = 1.0 / (self.radius * np.cos(y))
         metric_y = 1.0 / self.radius
-        return dmdx * metric_x, dmdy * metric_y
+        dfdx = 2.0 * (u * dudx + v * dvdx) * metric_x * self.u0**2
+        dfdy = 2.0 * (u * dudy) * metric_y * self.u0**2
+        return dfdx, dfdy
 
 
 def vortex_rollup(lon, lat, t: float):

@@ -3,11 +3,15 @@
 Mirrors the reference test strategy (SURVEY.md section 4): serial math checked
 against analytic/golden values; distributed behavior exercised at small "rank"
 counts — here virtual CPU devices standing in for TPU chips.
+
+NOTE: the session environment pins JAX_PLATFORMS=axon (one real TPU chip via a
+tunnel) and a sitecustomize hook pre-imports jax, so the env var cannot be
+overridden from here; jax.config.update("jax_platforms") after import is the
+reliable switch. The real chip is reserved for bench.py.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +20,5 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -59,9 +59,14 @@ def test_solid_body_rotation():
     f = SolidBodyRotation(beta=0.0)
     u, v = f.wind(np.array([0.0, 90.0]), np.array([0.0, 45.0]))
     np.testing.assert_allclose(v, 0.0)
-    np.testing.assert_allclose(u[0], 20.0)
-    # divergence identically zero
-    np.testing.assert_allclose(f.divergence(np.array([10.0]), np.array([20.0])), 0.0)
+    np.testing.assert_allclose(u[0], 1.0)
+    # divergence identically zero for solid-body flow
+    np.testing.assert_allclose(f.divergence(np.array([10.0]), np.array([20.0])), 0.0, atol=1e-16)
+    # beta=90: u = cos(x) sin(y), v = -sin(x)
+    f90 = SolidBodyRotation(beta=90.0)
+    u, v = f90.wind(np.array([30.0]), np.array([40.0]))
+    np.testing.assert_allclose(u, np.cos(np.deg2rad(30)) * np.sin(np.deg2rad(40)), atol=1e-15)
+    np.testing.assert_allclose(v, -np.sin(np.deg2rad(30)), atol=1e-15)
 
 
 def test_vortex_rollup_range():
