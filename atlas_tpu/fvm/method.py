@@ -55,7 +55,25 @@ class FvmGeometry:
 
 
 class FvmMethod:
-    def __init__(self, grid=None, mesh: Mesh | None = None, radius: float = EARTH_RADIUS):
+    def __init__(
+        self,
+        grid=None,
+        mesh: Mesh | None = None,
+        radius: float = EARTH_RADIUS,
+        use_cache: bool = False,
+    ):
+        # setup-product caching, reference ATLAS_CACHE_PATH (SURVEY.md 5.4)
+        if use_cache and mesh is None and grid is not None:
+            from ..io.cache import cache_path, load_geometry, save_geometry
+
+            path = cache_path("fvm-geometry", f"{grid.name}-{grid.uid()[:12]}")
+            cached = load_geometry(path)
+            if cached is not None and cached.radius == float(radius):
+                self.mesh = None
+                self.grid = grid
+                self.radius = float(radius)
+                self.geometry = cached
+                return
         if mesh is None:
             if grid is None:
                 raise ValueError("need a grid or a mesh")
@@ -69,6 +87,16 @@ class FvmMethod:
         self.grid = grid
         self.radius = float(radius)
         self.geometry = self._assemble()
+        if use_cache and grid is not None:
+            from ..io.cache import cache_path, save_geometry
+
+            try:
+                save_geometry(
+                    self.geometry,
+                    cache_path("fvm-geometry", f"{grid.name}-{grid.uid()[:12]}"),
+                )
+            except OSError:
+                pass
 
     def _assemble(self) -> FvmGeometry:
         mesh = self.mesh
