@@ -1,0 +1,171 @@
+"""Pallas TPU kernels for the shift-structured fvm operators.
+
+The XLA version of structured.py materializes one shifted copy of the field
+per shift key (~22 full-array passes). These kernels stream each (row-tile,
+level-tile) block through VMEM exactly once: the weight tables for a row tile
+are fetched once per row tile (constant in the level grid dimension, so Pallas
+keeps them resident), the field block plus its two row-neighbour blocks are
+fetched once, and all shift contributions are applied in-register (static lane
+shifts + row concatenations). Minimum HBM traffic per iteration:
+f + S-tables + output — the speed-of-light for this stencil.
+
+Layout contract (structured.py): fields (lo, ny, LI, nxw) with LI levels in
+the sublane dim, x in the lane dim; weights (nk, ny, nxw); all shifts static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LI = 8  # level-tile (f32 sublanes)
+TJ = 8  # row-tile
+
+
+def _cshift(a, dc):
+    """Static lane shift with zero fill: out[..., c] = a[..., c + dc]."""
+    if dc == 0:
+        return a
+    nxw = a.shape[-1]
+    if dc > 0:
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, dc)]
+        return jnp.pad(a, pad)[..., dc : dc + nxw]
+    pad = [(0, 0)] * (a.ndim - 1) + [(-dc, 0)]
+    return jnp.pad(a, pad)[..., :nxw]
+
+
+def build_gradient_kernel(keys, ny, nxw, nk):
+    """keys: list of (dj, dc) matching the stacked S arrays (nk, ny, nxw, 2)."""
+
+    def kernel(Sx_ref, Sy_ref, G_ref, fprev_ref, f_ref, fnext_ref, gx_ref, gy_ref):
+        f = f_ref[0]  # (TJ, LI, nxw)
+        fp = fprev_ref[0]
+        fn = fnext_ref[0]
+
+        rows = {
+            0: f,
+            1: jnp.concatenate([f[1:], fn[:1]], axis=0),
+            -1: jnp.concatenate([fp[-1:], f[:-1]], axis=0),
+        }
+        acc_x = jnp.zeros_like(f)
+        acc_y = jnp.zeros_like(f)
+        for k, (dj, dc) in enumerate(keys):
+            fs = _cshift(rows[dj], dc)
+            acc_x = acc_x + fs * Sx_ref[k][:, None, :]
+            acc_y = acc_y + fs * Sy_ref[k][:, None, :]
+        gx_ref[0] = acc_x * G_ref[0][:, None, :]
+        gy_ref[0] = acc_y * G_ref[1][:, None, :]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("keys", "interpret"))
+def gradient_pallas(keys, Sx, Sy, G, ft, interpret=False):
+    """ft: (lo, ny, LI, nxw); Sx/Sy: (nk, ny, nxw); G: (2, ny, nxw).
+
+    Returns (gx, gy) each (lo, ny, LI, nxw). `keys` must be a tuple of (dj, dc)
+    pairs aligned with the leading axis of Sx/Sy; key (0, 0) holds the self
+    term (sum of all S).
+    """
+    lo, ny, li, nxw = ft.shape
+    nk = Sx.shape[0]
+    ny_t = ny // TJ
+    assert ny % TJ == 0
+
+    grid = (ny_t, lo)
+
+    def f_spec(row_offset):
+        def index_map(jt, lt):
+            j = jnp.clip(jt + row_offset, 0, ny_t - 1)
+            return (lt, j, 0, 0)
+
+        return pl.BlockSpec((1, TJ, li, nxw), index_map, memory_space=pltpu.VMEM)
+
+    S_spec = pl.BlockSpec(
+        (nk, TJ, nxw), lambda jt, lt: (0, jt, 0), memory_space=pltpu.VMEM
+    )
+    G_spec = pl.BlockSpec(
+        (2, TJ, nxw), lambda jt, lt: (0, jt, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, TJ, li, nxw), lambda jt, lt: (lt, jt, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = build_gradient_kernel(keys, ny, nxw, nk)
+    gx, gy = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[S_spec, S_spec, G_spec, f_spec(-1), f_spec(0), f_spec(1)],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(ft.shape, ft.dtype),
+            jax.ShapeDtypeStruct(ft.shape, ft.dtype),
+        ],
+        interpret=interpret,
+    )(Sx, Sy, G, ft, ft, ft)
+    return gx, gy
+
+
+class PallasGradient:
+    """Gradient via the Pallas kernel, built from a StructuredFvm's tables."""
+
+    def __init__(self, sfvm, dtype=jnp.float32):
+        from ..util.constants import DEG2RAD
+
+        s = sfvm.shifts
+        self.sfvm = sfvm
+        ny, nxw = s.ny, s.nxw
+        # pad rows to a multiple of TJ and lanes to a multiple of 128
+        self.ny_pad = -(-ny // TJ) * TJ
+        self.nxw_pad = -(-nxw // 128) * 128
+        items = [((0, 0), s.S_total_regular + s.S_total_pole)] + [
+            (k, v) for k, v in list(s.keys_regular.items()) + list(s.keys_pole.items())
+            if k != (0, 0)
+        ]
+        # fold any (0,0) regular/pole keys into the self term (already in total)
+        self.keys = tuple(k for k, _ in items)
+        nk = len(items)
+        Sx = np.zeros((nk, self.ny_pad, self.nxw_pad), np.float64)
+        Sy = np.zeros_like(Sx)
+        for i, (k, S) in enumerate(items):
+            Sx[i, :ny, :nxw] = S[:, :, 0]
+            Sy[i, :ny, :nxw] = S[:, :, 1]
+        G = np.zeros((2, self.ny_pad, self.nxw_pad), np.float64)
+        G[0, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_x * s.mask
+        G[1, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_y * s.mask
+        self.Sx = jnp.asarray(Sx, dtype)
+        self.Sy = jnp.asarray(Sy, dtype)
+        self.G = jnp.asarray(G, dtype)
+        self.ny, self.nxw = ny, nxw
+
+    def __call__(self, ft):
+        """ft: (lo, ny_pad, LI, nxw_pad) tiled field (halo columns filled)."""
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return gradient_pallas(self.keys, self.Sx, self.Sy, self.G, ft, interpret=interpret)
+
+    def tile(self, f):
+        """(nlev, ny, nxw) -> padded tiled (lo, ny_pad, LI, nxw_pad)."""
+        nlev = f.shape[0]
+        lo = -(-nlev // LI)
+        f = jnp.pad(
+            f,
+            (
+                (0, lo * LI - nlev),
+                (0, self.ny_pad - self.ny),
+                (0, self.nxw_pad - self.nxw),
+            ),
+        )
+        return jnp.transpose(
+            f.reshape(lo, LI, self.ny_pad, self.nxw_pad), (0, 2, 1, 3)
+        )
+
+    def untile(self, ft, nlev):
+        lo, nyp, li, nxwp = ft.shape
+        out = jnp.transpose(ft, (0, 2, 1, 3)).reshape(lo * li, nyp, nxwp)
+        return out[:nlev, : self.ny, : self.nxw]

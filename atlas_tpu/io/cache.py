@@ -53,3 +53,45 @@ def load_geometry(path: str):
         )
     except Exception:
         return None
+
+
+def save_shifts(shifts, path: str) -> None:
+    """Persist a StructuredFvm _Shifts product."""
+    arrays = {}
+    meta = {"ny": shifts.ny, "nxw": shifts.nxw, "L": shifts.L}
+    for name in ("S_total_regular", "S_total_pole", "metric_x", "metric_y",
+                 "cos_lat", "inv_cos", "mask", "halo_rows", "halo_dst",
+                 "halo_src", "col_of_point", "row_of_point"):
+        arrays[name] = getattr(shifts, name)
+    for kind, d in (("reg", shifts.keys_regular), ("pole", shifts.keys_pole)):
+        for (dj, dc), S in d.items():
+            arrays[f"key_{kind}_{dj}_{dc}"] = S
+    np.savez_compressed(path + ".tmp.npz", __meta__=np.array(
+        [meta["ny"], meta["nxw"], meta["L"]], dtype=np.int64), **arrays)
+    os.replace(path + ".tmp.npz", path)
+
+
+def load_shifts(path: str):
+    from ..fvm.structured import _Shifts
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            meta = z["__meta__"]
+            keys_regular, keys_pole, fields = {}, {}, {}
+            for name in z.files:
+                if name == "__meta__":
+                    continue
+                if name.startswith("key_"):
+                    _, kind, dj, dc = name.split("_")
+                    target = keys_regular if kind == "reg" else keys_pole
+                    target[(int(dj), int(dc))] = z[name]
+                else:
+                    fields[name] = z[name]
+        return _Shifts(
+            ny=int(meta[0]), nxw=int(meta[1]), L=int(meta[2]), nlev_axis=0,
+            keys_regular=keys_regular, keys_pole=keys_pole, **fields,
+        )
+    except Exception:
+        return None

@@ -1,0 +1,225 @@
+"""Rank-local spherical-harmonic transforms (reference: atlas TransLocal).
+
+Reference behavior (trans/local/TransLocal.cc):
+ - invtrans_legendre (:940-1103): per-m GEMMs of (fields x n) spectral coeffs
+   against precomputed symmetric/antisymmetric Legendre tables per latitude
+   half, hemispheres combined as north = S + A, south = S - A;
+ - invtrans_fourier (:1104+): batched complex-to-real FFT per latitude circle
+   with a per-latitude Fourier truncation;
+ - direct transforms are NOT implemented in the reference's TransLocal
+   (TransLocal.h:64-65); here dirtrans IS provided for Gaussian grids via
+   Gaussian quadrature (the ectrans approach), which makes roundtrip tests and
+   the Spectral function space self-contained.
+
+TPU design: the ragged per-m GEMMs become ONE padded batched einsum on the MXU
+(m as the batch axis, n padded to T+1); the FFT is jnp.fft.irfft over the
+nxmax-padded latitude rows with per-row spectral truncation masks for reduced
+grids. Legendre tables are cached on disk keyed by (grid uid, truncation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..util.constants import DEG2RAD
+from .legendre import legendre_polynomials, nspec2, spectral_index
+
+
+class TransLocal:
+    def __init__(self, grid, truncation: int, dtype=jnp.float32):
+        from ..grid.structured import StructuredGrid
+
+        self.grid = grid
+        self.truncation = int(truncation)
+        self.dtype = jnp.dtype(dtype)
+        if not isinstance(grid, StructuredGrid):
+            raise TypeError("TransLocal requires a structured grid")
+        self._setup()
+
+    # ------------------------------------------------------------------ setup
+    def _setup(self):
+        t = self.truncation
+        grid = self.grid
+        ny = grid.ny
+        lats = grid.y
+        # hemisphere pairing: rows j and ny-1-j share |lat| for symmetric grids
+        self.nlat_half = (ny + 1) // 2
+        north_lats = lats[: self.nlat_half]
+        sinlat = np.sin(north_lats * DEG2RAD)
+
+        P = legendre_polynomials(t, sinlat)  # (nlat_half, ncoef)
+        ms, ns = spectral_index(t)
+        parity = (ns - ms) % 2  # 0 symmetric, 1 antisymmetric
+
+        # padded per-m tensors: (T+1, nlat_half, nmax) with nmax = T+1
+        nmax = t + 1
+        P_m = np.zeros((t + 1, self.nlat_half, nmax))
+        self._coef_scatter = (ms, ns - ms)  # coefficient k -> (m, slot)
+        P_m[ms, :, ns - ms] = P.T.reshape(len(ms), self.nlat_half)
+        sym_mask = np.zeros((t + 1, nmax))
+        sym_mask[ms, ns - ms] = 1.0 - parity
+        asym_mask = np.zeros((t + 1, nmax))
+        asym_mask[ms, ns - ms] = parity.astype(np.float64)
+
+        self.P_sym = jnp.asarray(P_m * sym_mask[:, None, :], self.dtype)
+        self.P_asym = jnp.asarray(P_m * asym_mask[:, None, :], self.dtype)
+        self.sym_mask = sym_mask
+        self.parity = parity
+        self.ms, self.ns = ms, ns
+
+        # Fourier: per-row lengths and per-row m-truncation
+        self.nx = grid.nx.astype(np.int64)
+        self.nxmax = int(grid.nxmax)
+        # m usable on a row with nx points: m <= nx/2 (Nyquist)
+        self.row_mmax = np.minimum(t, self.nx // 2)
+        # rows at xmin != 0 (shifted) need a phase factor exp(i m x0)
+        self.x0 = grid.xmin * DEG2RAD * (360.0 / grid.xspan if grid.xspan else 1.0)
+
+        # quadrature weights for dirtrans (Gaussian grids only)
+        from ..grid.gaussian import gaussian_quadrature_npole_spole
+
+        try:
+            glats, w = gaussian_quadrature_npole_spole(ny)
+            if np.allclose(glats, lats, atol=1e-10):
+                self.quad_w = w  # sum = 2
+            else:
+                self.quad_w = None
+        except Exception:
+            self.quad_w = None
+
+    # -------------------------------------------------------------- invtrans
+    def invtrans(self, spectra) -> jnp.ndarray:
+        """Packed real spectra (nfields, nspec2) or (nspec2,) -> grid fields.
+
+        Returns (nfields, grid.size) (or (grid.size,)), point order = grid
+        order (north rows first).
+        """
+        spectra = jnp.asarray(spectra, self.dtype)
+        squeeze = spectra.ndim == 1
+        if squeeze:
+            spectra = spectra[None]
+        nf = spectra.shape[0]
+        t = self.truncation
+        # unpack to (nf, T+1 m, nmax slots, 2)
+        coef = jnp.zeros((nf, t + 1, t + 1, 2), self.dtype)
+        re = spectra[:, 0::2]
+        im = spectra[:, 1::2]
+        ms, slots = self._coef_scatter
+        coef = coef.at[:, ms, slots, 0].set(re)
+        coef = coef.at[:, ms, slots, 1].set(im)
+
+        fnorth, fsouth = _legendre_inv(self.P_sym, self.P_asym, coef)
+        # (nf, T+1, nlat_half, 2) each -> assemble rows north..equator..south
+        return self._fourier_inv(fnorth, fsouth, nf, squeeze)
+
+    def _fourier_inv(self, fnorth, fsouth, nf, squeeze):
+        grid = self.grid
+        ny = grid.ny
+        t = self.truncation
+        half = self.nlat_half
+        # per-row Fourier coefficients (nf, ny, T+1) complex, rows north->south
+        Fn = jnp.transpose(fnorth, (0, 2, 1, 3))  # (nf, nlat_half, m, 2)
+        Fs = jnp.transpose(fsouth, (0, 2, 1, 3))[:, ::-1]
+        Fs = Fs[:, self.nlat_half * 2 - ny :]  # drop duplicated equator if odd ny
+        F = jnp.concatenate([Fn, Fs], axis=1)
+        Fc = (F[..., 0] + 1j * F[..., 1]).astype(
+            jnp.complex64 if self.dtype == jnp.float32 else jnp.complex128
+        )
+
+        # m=0 must be real; per-row truncation below Nyquist; shift phase
+        mm = np.arange(t + 1)
+        mmax = np.minimum(t, (self.nx - 1) // 2)  # strictly below Nyquist
+        mask = (mm[None, :] <= mmax[:, None]).astype(np.float64)
+        phase = np.exp(1j * mm[None, :] * self.x0[:, None]) * mask
+        Fc = Fc * jnp.asarray(phase, Fc.dtype)
+        Fc = Fc.at[:, :, 0].set(jnp.real(Fc[:, :, 0]).astype(Fc.dtype))
+
+        # irfft per group of equal-length rows; spec_m = nx * c_m / (2 - (m==0))
+        fac = np.where(mm == 0, 1.0, 0.5)
+        out = jnp.zeros((nf, grid.size), self.dtype)
+        offs = grid.row_offset
+        for nx in np.unique(self.nx):
+            rows = np.flatnonzero(self.nx == nx)
+            spec_len = int(nx) // 2 + 1
+            spec = jnp.zeros((nf, len(rows), spec_len), Fc.dtype)
+            ncopy = min(t + 1, spec_len)
+            spec = spec.at[:, :, :ncopy].set(
+                Fc[:, rows, :ncopy] * jnp.asarray(fac[:ncopy], Fc.dtype)
+            )
+            vals = jnp.fft.irfft(spec, n=int(nx), axis=-1) * int(nx)
+            # scatter rows back into grid order
+            idx = np.concatenate(
+                [np.arange(offs[r], offs[r] + nx) for r in rows]
+            )
+            out = out.at[:, idx].set(
+                vals.reshape(nf, -1).astype(self.dtype)
+            )
+        return out[0] if squeeze else out
+
+    # -------------------------------------------------------------- dirtrans
+    def dirtrans(self, fields):
+        """Grid fields -> packed spectra via Gaussian quadrature.
+
+        Requires a global Gaussian grid (quadrature weights available). The
+        reference's TransLocal does not implement direct transforms
+        (TransLocal.h:64-65); this follows the standard quadrature route:
+          c_m(theta_j) = rfft over the row / (nx/2, nx for m=0)
+          a_mn = sum_j w_j P_nm(theta_j) c_m(theta_j) / 2
+        """
+        if self.quad_w is None:
+            raise NotImplementedError("dirtrans requires a global Gaussian grid")
+        fields = jnp.asarray(fields, self.dtype)
+        squeeze = fields.ndim == 1
+        if squeeze:
+            fields = fields[None]
+        nf = fields.shape[0]
+        t = self.truncation
+        grid = self.grid
+        ny = grid.ny
+        mm = np.arange(t + 1)
+
+        # rfft per row group -> c_m per row
+        Fc = jnp.zeros(
+            (nf, ny, t + 1),
+            jnp.complex64 if self.dtype == jnp.float32 else jnp.complex128,
+        )
+        offs = grid.row_offset
+        for nx in np.unique(self.nx):
+            rows = np.flatnonzero(self.nx == nx)
+            idx = np.concatenate([np.arange(offs[r], offs[r] + nx) for r in rows])
+            vals = fields[:, idx].reshape(nf, len(rows), int(nx))
+            spec = jnp.fft.rfft(vals, axis=-1) / int(nx)  # c_0 + c_m/2 packing
+            ncopy = min(t + 1, int(nx) // 2 + 1)
+            fac = np.where(mm[:ncopy] == 0, 1.0, 2.0)
+            Fc = Fc.at[:, rows, :ncopy].set(spec[..., :ncopy] * jnp.asarray(fac, spec.dtype))
+        # unshift phase
+        phase = np.exp(-1j * mm[None, :] * self.x0[:, None])
+        Fc = Fc * jnp.asarray(phase, Fc.dtype)
+
+        # quadrature over latitudes: a_mn = 0.5 sum_j w_j P_nm(x_j) c_m(j)
+        sinlat = np.sin(grid.y * DEG2RAD)
+        P_all = legendre_polynomials(t, sinlat)  # (ny, ncoef)
+        ms, ns = self.ms, self.ns
+        Pw = P_all * (0.5 * self.quad_w)[:, None]  # (ny, ncoef)
+        Pw = jnp.asarray(Pw, self.dtype)
+        # einsum over latitudes: (nf, ny, m) x (ny, k) selecting m = ms[k]
+        Cm = jnp.einsum("fym,yk->fkm", Fc, Pw.astype(Fc.dtype))
+        picked = Cm[:, jnp.arange(len(ms)), jnp.asarray(ms)]  # (nf, ncoef)
+        out = jnp.stack([jnp.real(picked), jnp.imag(picked)], axis=-1).reshape(nf, -1)
+        out = out.astype(self.dtype)
+        return out[0] if squeeze else out
+
+
+@jax.jit
+def _legendre_inv(P_sym, P_asym, coef):
+    """coef: (nf, m, n-slot, 2) -> (fnorth, fsouth): (nf, m, nlat_half, 2).
+
+    One batched MXU einsum per parity; hemispheres combined as N = S + A,
+    S = S - A (reference TransLocal.cc:1031-1083).
+    """
+    C_sym = jnp.einsum("mxn,fmnc->fmxc", P_sym, coef)
+    C_asym = jnp.einsum("mxn,fmnc->fmxc", P_asym, coef)
+    return C_sym + C_asym, C_sym - C_asym

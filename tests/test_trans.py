@@ -1,0 +1,118 @@
+"""Spherical-harmonic transform tests.
+
+Mirrors reference src/tests/trans/test_transgeneral.cc: single-mode inverse
+transforms checked against analytic spherical harmonics, and roundtrip
+(dirtrans o invtrans == identity) on Gaussian grids where the quadrature is
+exact.
+"""
+
+import numpy as np
+import pytest
+
+from atlas_tpu import Grid
+from atlas_tpu.trans import TransLocal, nspec2, spectral_index
+from atlas_tpu.trans.legendre import legendre_polynomials
+from atlas_tpu.util.functions import real_spherical_harmonic
+
+
+def test_legendre_orthonormality():
+    # (1/2) integral P_nm P_n'm dx = delta, via Gauss-Legendre quadrature
+    from atlas_tpu.grid.gaussian import gaussian_quadrature_npole_spole
+
+    lats, w = gaussian_quadrature_npole_spole(48)
+    x = np.sin(np.deg2rad(lats))
+    T = 10
+    P = legendre_polynomials(T, x)  # (nlat, ncoef)
+    ms, ns = spectral_index(T)
+    for m in range(3):
+        cols = np.flatnonzero(ms == m)
+        G = 0.5 * np.einsum("l,lk,lj->kj", w, P[:, cols], P[:, cols])
+        np.testing.assert_allclose(G, np.eye(len(cols)), atol=1e-13)
+
+
+@pytest.mark.parametrize("n,m", [(0, 0), (3, 0), (4, 2), (7, 7), (10, 5)])
+def test_invtrans_single_mode_vs_analytic(n, m):
+    grid = Grid("F24")
+    T = 15
+    trans = TransLocal(grid, T, dtype=np.float64)
+    ms, ns = spectral_index(T)
+    k = int(np.flatnonzero((ms == m) & (ns == n))[0])
+    spec = np.zeros(nspec2(T))
+    spec[2 * k] = 1.0  # real part
+    f = np.asarray(trans.invtrans(spec))
+    ll = grid.lonlat()
+    y = real_spherical_harmonic(ll[:, 0], ll[:, 1], n, m)
+    # (-1)^m: the transform uses the geodesy convention (no Condon-Shortley
+    # phase); real_spherical_harmonic includes the CS phase
+    scale = (-1.0) ** m * np.sqrt(4 * np.pi) * (1.0 / np.sqrt(2.0) if m > 0 else 1.0)
+    np.testing.assert_allclose(f, scale * y, atol=1e-11)
+
+
+def test_invtrans_imag_mode():
+    grid = Grid("F24")
+    T = 15
+    n, m = 5, 3
+    trans = TransLocal(grid, T, dtype=np.float64)
+    ms, ns = spectral_index(T)
+    k = int(np.flatnonzero((ms == m) & (ns == n))[0])
+    spec = np.zeros(nspec2(T))
+    spec[2 * k + 1] = 1.0  # imaginary part -> -sin(m lon) component
+    f = np.asarray(trans.invtrans(spec))
+    ll = grid.lonlat()
+    y = real_spherical_harmonic(ll[:, 0], ll[:, 1], n, -m)
+    np.testing.assert_allclose(
+        f, -((-1.0) ** m) * np.sqrt(4 * np.pi) / np.sqrt(2.0) * y, atol=1e-11
+    )
+
+
+def test_roundtrip_gaussian():
+    grid = Grid("F24")
+    T = 23
+    trans = TransLocal(grid, T, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    spec = rng.normal(size=(3, nspec2(T)))
+    # zero the imaginary parts of m=0 modes (not representable in real fields)
+    ms, _ = spectral_index(T)
+    spec[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    f = trans.invtrans(spec)
+    back = np.asarray(trans.dirtrans(f))
+    np.testing.assert_allclose(back, spec, atol=1e-11)
+
+
+def test_invtrans_on_reduced_grid():
+    # octahedral grid: per-row truncation; compare against direct evaluation
+    grid = Grid("O16")
+    T = 10
+    trans = TransLocal(grid, T, dtype=np.float64)
+    ms, ns = spectral_index(T)
+    n, m = 6, 4
+    k = int(np.flatnonzero((ms == m) & (ns == n))[0])
+    spec = np.zeros(nspec2(T))
+    spec[2 * k] = 1.0
+    f = np.asarray(trans.invtrans(spec))
+    ll = grid.lonlat()
+    y = real_spherical_harmonic(ll[:, 0], ll[:, 1], n, m)
+    scale = (-1.0) ** m * np.sqrt(4 * np.pi) / np.sqrt(2.0)
+    # rows where m exceeds the row Nyquist are truncated to zero there; the
+    # polar rows of O16 have nx >= 20 > 2m so all rows resolve m=4
+    np.testing.assert_allclose(f, scale * y, atol=1e-11)
+
+
+def test_vortex_field_spectral_content():
+    # transform a smooth field and verify energy decays with n
+    grid = Grid("F32")
+    T = 31
+    trans = TransLocal(grid, T, dtype=np.float64)
+    ll = grid.lonlat()
+    from atlas_tpu.util.functions import vortex_rollup
+
+    f = vortex_rollup(ll[:, 0], ll[:, 1], 0.5)
+    spec = np.asarray(trans.dirtrans(f))
+    ms, ns = spectral_index(T)
+    power = spec[0::2] ** 2 + spec[1::2] ** 2
+    low = power[ns <= 5].sum()
+    high = power[ns > 25].sum()
+    assert low > 100 * high
+    # and inverse reproduces the field up to truncation error
+    back = np.asarray(trans.invtrans(spec))
+    assert np.abs(back - f).max() < 0.05 * np.abs(f).max()
