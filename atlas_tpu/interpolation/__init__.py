@@ -1,0 +1,5 @@
+from .interpolation import Interpolation, interpolation_factory
+from .structured import StructuredInterpolation2D
+from . import knn as _knn  # noqa: F401 (registers)
+
+__all__ = ["Interpolation", "interpolation_factory", "StructuredInterpolation2D"]

@@ -1,0 +1,130 @@
+"""Interpolation tests (reference: src/tests/interpolation/*).
+
+Accuracy on the vortex-rollup analytic field (the reference's standard test
+field), adjoint consistency, and conservation for grid-box-average.
+"""
+
+import numpy as np
+import pytest
+
+from atlas_tpu import Grid
+from atlas_tpu.interpolation import Interpolation, StructuredInterpolation2D
+from atlas_tpu.util.functions import vortex_rollup
+
+
+@pytest.fixture(scope="module")
+def src():
+    grid = Grid("O32")
+    ll = grid.lonlat()
+    f = vortex_rollup(ll[:, 0], ll[:, 1], 0.5)
+    return grid, f
+
+
+def test_bicubic_accuracy(src):
+    grid, f = src
+    tgt = Grid("S64x32")
+    interp = Interpolation("structured-bicubic", grid, tgt)
+    out = np.asarray(interp.execute(f))
+    tll = tgt.lonlat()
+    ref = vortex_rollup(tll[:, 0], tll[:, 1], 0.5)
+    err = np.abs(out - ref)
+    assert err.max() < 5e-3
+    assert err.mean() < 5e-4
+
+
+def test_bilinear_accuracy(src):
+    grid, f = src
+    tgt = Grid("S64x32")
+    interp = Interpolation("structured-bilinear", grid, tgt)
+    out = np.asarray(interp.execute(f))
+    tll = tgt.lonlat()
+    ref = vortex_rollup(tll[:, 0], tll[:, 1], 0.5)
+    assert np.abs(out - ref).max() < 5e-2
+    # bilinear less accurate than bicubic
+    bic = np.asarray(Interpolation("structured-bicubic", grid, tgt).execute(f))
+    assert np.abs(bic - ref).mean() < np.abs(out - ref).mean()
+
+
+def test_bilinear_exact_on_linear_function(src):
+    grid, _ = src
+    # bilinear weights reproduce functions linear in index space exactly;
+    # a constant is the simplest invariant
+    tgt_pts = np.array([[10.0, 20.0], [123.4, -45.6], [359.9, 0.1]])
+    interp = StructuredInterpolation2D(grid, tgt_pts, kind="linear")
+    ones = np.ones(grid.size)
+    np.testing.assert_allclose(np.asarray(interp.execute(ones)), 1.0, atol=1e-14)
+    interp4 = StructuredInterpolation2D(grid, tgt_pts, kind="cubic")
+    np.testing.assert_allclose(np.asarray(interp4.execute(ones)), 1.0, atol=1e-13)
+
+
+def test_periodic_seam(src):
+    grid, f = src
+    # points straddling lon=0/360 must interpolate smoothly
+    tgt_pts = np.stack([np.linspace(359.0, 361.0, 21) % 360.0, np.full(21, 10.0)], -1)
+    interp = StructuredInterpolation2D(grid, tgt_pts, kind="cubic")
+    out = np.asarray(interp.execute(f))
+    assert np.abs(np.diff(out)).max() < 0.05
+
+
+def test_multilevel_fields(src):
+    grid, f = src
+    tgt_pts = np.array([[45.0, 45.0], [180.0, -30.0]])
+    interp = StructuredInterpolation2D(grid, tgt_pts, kind="cubic")
+    f2 = np.stack([f, 3 * f], axis=-1)
+    out = np.asarray(interp.execute(f2))
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out[:, 1], 3 * out[:, 0], rtol=1e-12)
+
+
+def test_adjoint_consistency(src):
+    grid, f = src
+    tgt = Grid("S16x8")
+    interp = Interpolation("structured-bicubic", grid, tgt)
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=tgt.size)
+    Af = np.asarray(interp.execute(f))
+    Atg = np.asarray(interp.execute_adjoint(g))
+    np.testing.assert_allclose(Af @ g, f @ Atg, rtol=1e-12)
+
+
+def test_nearest_neighbour(src):
+    grid, f = src
+    # target exactly on source points returns those values
+    ll = grid.lonlat()
+    pts = ll[[0, 100, 2000]]
+    interp = Interpolation("nearest-neighbour", grid, pts)
+    out = np.asarray(interp.execute(f))
+    np.testing.assert_allclose(out, f[[0, 100, 2000]], atol=1e-14)
+
+
+def test_knn_weights(src):
+    grid, f = src
+    pts = np.array([[12.3, 45.6]])
+    from atlas_tpu.util.config import Config
+
+    interp = Interpolation(Config(type="k-nearest-neighbours", k=4), grid, pts)
+    assert interp.w.shape == (1, 4)
+    np.testing.assert_allclose(interp.w.sum(), 1.0, atol=1e-14)
+
+
+def test_grid_box_average_conserves_mean():
+    src_grid = Grid("S32x16")
+    tgt_grid = Grid("S16x8")
+    interp = Interpolation("grid-box-average", src_grid, tgt_grid)
+    # weights rows sum to 1
+    np.testing.assert_allclose(interp.w.sum(axis=1), 1.0, atol=1e-12)
+    ll = src_grid.lonlat()
+    f = vortex_rollup(ll[:, 0], ll[:, 1], 0.2)
+    out = np.asarray(interp.execute(f))
+    # area-weighted means agree closely (conservative remap)
+    def area_w(grid):
+        y = grid.y
+        edges = np.empty(grid.ny + 1)
+        edges[0], edges[-1] = 90.0, -90.0
+        edges[1:-1] = 0.5 * (y[:-1] + y[1:])
+        band = np.sin(np.deg2rad(edges[:-1])) - np.sin(np.deg2rad(edges[1:]))
+        return np.repeat(band / grid.nx, grid.nx)
+
+    m_src = np.average(f, weights=area_w(src_grid))
+    m_tgt = np.average(out, weights=area_w(tgt_grid))
+    assert abs(m_src - m_tgt) < 2e-3
