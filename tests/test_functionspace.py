@@ -1,0 +1,116 @@
+"""FunctionSpace / Field / checksum / redistribution tests."""
+
+import numpy as np
+import pytest
+
+from atlas_tpu import Grid
+from atlas_tpu.field import Field, FieldSet
+from atlas_tpu.functionspace import (
+    BlockStructuredColumns,
+    NodeColumns,
+    PointCloud,
+    Spectral,
+    StructuredColumns,
+)
+from atlas_tpu.parallel.checksum import checksum
+from atlas_tpu.partition import Distribution, Partitioner
+from atlas_tpu.redistribution import Redistribution
+
+
+def test_structured_columns_fields():
+    g = Grid("O8")
+    fs = StructuredColumns(g)
+    f = fs.create_field("t", levels=3)
+    assert f.shape == (g.size, 3)
+    assert f.functionspace is fs
+    i, j = fs.index_i, fs.index_j
+    np.testing.assert_array_equal(fs.index(i, j), np.arange(g.size))
+
+
+def test_block_structured_columns():
+    g = Grid("O8")
+    fs = BlockStructuredColumns(g, nproma=32)
+    assert fs.nblk == -(-g.size // 32)
+    assert fs.block_size(fs.nblk - 1) == g.size - (fs.nblk - 1) * 32
+    flat = np.arange(g.size, dtype=np.float64)
+    blocked = fs.to_blocks(flat)
+    assert blocked.shape == (fs.nblk, 32)
+    np.testing.assert_array_equal(fs.from_blocks(blocked), flat)
+
+
+def test_node_columns_statistics():
+    fs = NodeColumns(Grid("O8"))
+    f = fs.create_field("v")
+    lat = fs.lonlat()[:, 1]
+    data = np.sin(np.deg2rad(lat))
+    mn = fs.minimum(data)
+    mx = fs.maximum(data)
+    assert mn < 0 < mx
+    mean, n = fs.mean(data)
+    assert n == fs.nb_nodes_global
+    s_oi, _ = fs.order_independent_sum(data)
+    s, _ = fs.sum(data)
+    assert abs(s_oi - s) < 1e-9
+    val, loc = fs.maximum_and_location(data)
+    assert abs(val - mx) < 1e-15
+    mean2, std, _ = fs.mean_and_standard_deviation(data)
+    assert std > 0
+
+
+def test_spectral_functionspace():
+    fs = Spectral(truncation=7)
+    assert fs.nspec2 == 8 * 9
+    f = fs.create_field()
+    assert f.shape == (fs.nspec2,)
+    data = np.zeros(fs.nspec2)
+    data[0] = 3.0  # (m=0, n=0) real
+    assert abs(fs.norm(data) - 3.0) < 1e-15
+
+
+def test_point_cloud():
+    pts = np.array([[0.0, 0.0], [90.0, 45.0]])
+    fs = PointCloud(pts)
+    assert fs.size == 2
+    f = fs.create_field(levels=2, variables=3)
+    assert f.shape == (2, 2, 3)
+
+
+def test_fieldset():
+    g = Grid("O8")
+    fs = StructuredColumns(g)
+    s = FieldSet()
+    s.add(fs.create_field("a"))
+    s.add(fs.create_field("b", levels=2))
+    assert s.field_names() == ["a", "b"]
+    assert s["b"].shape == (g.size, 2)
+    with pytest.raises(KeyError):
+        s.add(fs.create_field("a"))
+
+
+def test_checksum_order_independent():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=1000)
+    c1 = checksum(x)
+    c2 = checksum(x[::-1].copy())
+    c3 = checksum(rng.permutation(x))
+    assert c1 == c2 == c3
+    assert checksum(x + 1e-300) == c1  # bit-level: unchanged values
+    y = x.copy()
+    y[0] = np.nextafter(y[0], 1)
+    assert checksum(y) != c1  # any bit flip changes it
+
+
+def test_redistribution_roundtrip():
+    g = Grid("O8")
+    da = Distribution(g, Partitioner("bands", nb_parts=4))
+    db = Distribution(g, Partitioner("equal_regions", nb_parts=3))
+    r = Redistribution(g, da, db)
+    flat = np.arange(g.size, dtype=np.float64)
+    blocks_a = np.zeros((4, r.nmax_a))
+    for p, idx in enumerate(r.idx_a):
+        blocks_a[p, : len(idx)] = flat[idx]
+    blocks_b = r.execute(blocks_a)
+    back = np.zeros(g.size)
+    for p, idx in enumerate(r.idx_b):
+        back[idx] = blocks_b[p, : len(idx)]
+    np.testing.assert_array_equal(back, flat)
