@@ -82,7 +82,12 @@ def main():
     ft = jax.random.normal(jax.random.key(0), (lo, pg.ny_pad, LI, pg.nxw_pad), dtype)
 
     if args.impl == "pallas":
-        run = jax.jit(lambda ft: gradient_pallas(pg.keys, pg.Sx, pg.Sy, pg.G, ft)[0])
+        # platform quirk: wrapping the pallas call in any enclosing jit (or
+        # lax control flow) hangs the axon remote compiler — call the
+        # already-jitted kernel entry directly
+        def run(ft):
+            return gradient_pallas(pg.keys, pg.Sx, pg.Sy, pg.G, ft)[0]
+
         run(ft).block_until_ready()  # compile
         times = []
         for _ in range(args.niter):
