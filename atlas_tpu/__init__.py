@@ -19,11 +19,15 @@ __version__ = "0.1.0"
 from .util.config import Config
 from .grid import Grid, StructuredGrid
 from .grid.vertical import Vertical
+from .field import Field, FieldSet, State
 
 __all__ = [
     "Config",
     "Grid",
     "StructuredGrid",
     "Vertical",
+    "Field",
+    "FieldSet",
+    "State",
     "__version__",
 ]

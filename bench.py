@@ -82,21 +82,37 @@ def main():
     ft = jax.random.normal(jax.random.key(0), (lo, pg.ny_pad, LI, pg.nxw_pad), dtype)
 
     if args.impl == "pallas":
-        # platform quirk: wrapping the pallas call in any enclosing jit (or
-        # lax control flow) hangs the axon remote compiler — call the
-        # already-jitted kernel entry directly
+        # Platform quirks: (a) wrapping the pallas call in any enclosing jit or
+        # lax control flow hangs the axon remote compiler; (b) block_until_ready
+        # does not reliably synchronize pallas custom-call execution. So: chain
+        # K data-dependent calls at the Python level, force materialization by
+        # FETCHING a scalar reduction, and difference against a 1-call chain to
+        # remove the fixed fetch/dispatch overhead.
         def run(ft):
             return gradient_pallas(pg.keys, pg.Sx, pg.Sy, pg.G, ft)[0]
 
-        run(ft).block_until_ready()  # compile
-        times = []
-        for _ in range(args.niter):
-            t0 = time.perf_counter()
-            run(ft).block_until_ready()
-            times.append(time.perf_counter() - t0)
-        t_call = float(np.median(times))
-        t_iter = max(t_call - rtt, 1e-5)
-        timing_note = f"per-call {t_call*1e3:.2f} ms minus RTT {rtt*1e3:.2f} ms"
+        sum_fn = jax.jit(jnp.sum)
+
+        def chain(n):
+            x = ft
+            scale = jnp.asarray(6.4e6, dtype)
+            for _ in range(n):
+                x = run(x) * scale
+            return float(sum_fn(x))
+
+        chain(2)  # compile everything
+        K = max(args.niter, 8)
+        t0 = time.perf_counter()
+        s1 = chain(1)
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sK = chain(K)
+        t_K = time.perf_counter() - t0
+        t_iter = max((t_K - t_one) / (K - 1), 1e-6)
+        assert np.isfinite(sK), "pallas chain produced non-finite sum"
+        timing_note = (
+            f"chain diff: {K} calls {t_K*1e3:.2f} ms vs 1 call {t_one*1e3:.2f} ms"
+        )
     elif args.impl == "xla":
         t = sf._device_tables(dtype)
         f3 = jax.random.normal(jax.random.key(0), (nlev, ny, nxw), dtype)

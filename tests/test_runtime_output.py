@@ -1,0 +1,75 @@
+"""Trace/report, Gmsh and point-cloud I/O, CLI smoke tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from atlas_tpu import Grid
+from atlas_tpu.runtime import Trace, trace_report, trace_reset
+from atlas_tpu.output import write_gmsh, write_pointcloud, read_pointcloud
+from atlas_tpu.mesh import generate_mesh, build_edges
+
+
+def test_trace_nesting_and_report():
+    trace_reset()
+    with Trace("outer"):
+        with Trace("inner"):
+            pass
+        with Trace("inner"):
+            pass
+    report = trace_report()
+    assert "outer" in report and "inner" in report
+    # inner aggregated with count 2
+    inner_line = [l for l in report.splitlines() if "inner" in l][0]
+    assert " 2 " in inner_line
+
+
+def test_gmsh_write(tmp_path):
+    g = Grid("O8")
+    mesh = generate_mesh(g)
+    path = tmp_path / "o8.msh"
+    lat = mesh.nodes.lonlat[:, 1]
+    write_gmsh(mesh, str(path), fields={"lat": lat})
+    text = path.read_text()
+    assert "$MeshFormat" in text and "$Elements" in text and "$NodeData" in text
+    nnodes = int(text.split("$Nodes\n")[1].split("\n")[0])
+    assert nnodes == mesh.nb_nodes
+
+
+def test_pointcloud_io_roundtrip(tmp_path):
+    pts = np.array([[0.0, 10.0], [120.5, -45.25], [359.9, 89.0]])
+    f = np.array([1.5, -2.25, 3.75])
+    path = tmp_path / "pc.txt"
+    write_pointcloud(str(path), pts, {"t": f})
+    ll, fields = read_pointcloud(str(path))
+    np.testing.assert_allclose(ll, pts)
+    np.testing.assert_allclose(fields["t"], f)
+
+
+def test_cli_grids():
+    out = subprocess.run(
+        [sys.executable, "-m", "atlas_tpu.cli", "grids", "O16"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    info = json.loads(out.stdout)
+    assert info["size"] == Grid("O16").size
+
+
+def test_cli_gaussian_latitudes():
+    out = subprocess.run(
+        [sys.executable, "-m", "atlas_tpu.cli", "gaussian-latitudes", "4"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 8
+    lat0, w0 = map(float, lines[0].split())
+    from atlas_tpu.grid import gaussian_quadrature_npole_spole
+
+    lats, w = gaussian_quadrature_npole_spole(8)
+    assert abs(lat0 - lats[0]) < 1e-12
