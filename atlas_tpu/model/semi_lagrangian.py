@@ -1,0 +1,58 @@
+"""Semi-Lagrangian advection with departure-point bicubic interpolation.
+
+Reference context: BASELINE.md config 5 ("semi-Lagrangian departure-point
+advection using the stencil computers", grid/StencilComputer.h). Departure
+points are found by the standard fixed-point midpoint iteration; the upstream
+value is evaluated with the jitted bicubic stencil (grid/stencil.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..grid.stencil import interp_structured_cubic, stencil_tables
+from ..util.constants import DEG2RAD, EARTH_RADIUS, RAD2DEG
+
+
+class SemiLagrangianAdvection:
+    def __init__(self, grid, radius: float = EARTH_RADIUS, iterations: int = 2):
+        self.grid = grid
+        self.radius = float(radius)
+        self.iterations = int(iterations)
+        self.tables = stencil_tables(grid)
+        ll = grid.lonlat()
+        self.lon = jnp.asarray(ll[:, 0])
+        self.lat = jnp.asarray(ll[:, 1])
+
+    def departure_points(self, u, v, dt):
+        """Midpoint-rule departure points (lon_d, lat_d) in degrees."""
+        return _departure(
+            self.tables, self.lon, self.lat, u, v,
+            jnp.asarray(dt), jnp.asarray(self.radius), self.iterations,
+        )
+
+    def step(self, q, u, v, dt):
+        """Advect q by (u, v) [m/s] over dt [s]: q_new(x) = q(x_departure)."""
+        lon_d, lat_d = self.departure_points(u, v, dt)
+        return interp_structured_cubic(self.tables, q, lon_d, lat_d)
+
+
+@partial(jax.jit, static_argnums=7)
+def _departure(tables, lon, lat, u, v, dt, radius, iterations):
+    d2r = jnp.asarray(DEG2RAD, lon.dtype)
+    lon_d, lat_d = lon, lat
+    for _ in range(iterations):
+        lon_m = 0.5 * (lon + lon_d)
+        lat_m = 0.5 * (lat + lat_d)
+        u_m = interp_structured_cubic(tables, u, lon_m, lat_m)
+        v_m = interp_structured_cubic(tables, v, lon_m, lat_m)
+        coslat = jnp.cos(lat_m * d2r)
+        lon_d = lon - u_m * dt / (radius * jnp.maximum(coslat, 1e-6)) / d2r
+        lat_d = lat - v_m * dt / radius / d2r
+        lat_d = jnp.clip(lat_d, -89.99, 89.99)
+    return lon_d % 360.0, lat_d
