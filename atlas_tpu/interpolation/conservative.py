@@ -1,0 +1,222 @@
+"""First-order conservative spherical-polygon interpolation.
+
+Reference behavior: atlas interpolation/method/unstructured/
+ConservativeSphericalPolygonInterpolation (registration "conservative-
+spherical-polygon"): intersect every target cell polygon with the overlapping
+source cell polygons on the sphere; weights = intersection areas normalized by
+the target cell area. First order conserves the area integral exactly when
+the covers match.
+
+Design: cell polygons come from `cell_polygons(grid)` (lat-lon boxes for
+structured grids, gnomonic quads for the cubed sphere); candidate pairs via a
+cKDTree radius query on cell centers; all intersections evaluated in one
+vectorized Sutherland-Hodgman batch (util/spherical_polygon.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..util.geometry import lonlat_to_xyz
+from ..util.spherical_polygon import intersect_polygons, polygon_area, _pad_to
+from .interpolation import Method, interpolation_factory
+
+
+def cell_polygons(grid):
+    """(ncells, nv, 3) CCW cell corner polygons + centers for a grid.
+
+    Structured grids: lat-lon boxes around each point (rows bounded by
+    midpoint latitudes, poles capped); CubedSphereGrid: gnomonic quads.
+    Returns (verts, counts, centers_xyz).
+    """
+    from ..grid.cubedsphere import CubedSphereGrid
+    from ..grid.structured import StructuredGrid
+
+    if isinstance(grid, CubedSphereGrid):
+        return _cubed_sphere_cells(grid)
+    if isinstance(grid, StructuredGrid):
+        return _latlon_box_cells(grid)
+    raise TypeError(f"no cell polygons for {type(grid)}")
+
+
+def _latlon_box_cells(grid):
+    """Lat-lon boxes with north/south edges subdivided at the neighbouring
+    row's box breakpoints.
+
+    With great-circle polygon edges, the chord between two breakpoints differs
+    from the true parallel; on reduced grids adjacent rows have different
+    breakpoints, so un-subdivided boxes leave O(dlon^3) gaps/overlaps at row
+    boundaries. Inserting the union of both rows' breakpoints makes the shared
+    boundary polyline identical from both sides, so the cover tiles the sphere
+    exactly (like the reference's mesh-cell polygons).
+    """
+    ny = grid.ny
+    y = grid.y
+    edges = np.empty(ny + 1)
+    edges[0] = 90.0
+    edges[1:-1] = 0.5 * (y[:-1] + y[1:])
+    edges[-1] = -90.0
+
+    def row_breaks(j):
+        nx = int(grid.nx[j])
+        return grid.xmin[j] + (np.arange(nx + 1) - 0.5) * grid.dx[j]
+
+    all_polys = []
+    counts = []
+    for j in range(ny):
+        nx = int(grid.nx[j])
+        bw = row_breaks(j)  # nx+1 box edges
+        lat_n, lat_s = edges[j], edges[j + 1]
+        nbrk_n = row_breaks(j - 1) if j > 0 else None
+        nbrk_s = row_breaks(j + 1) if j < ny - 1 else None
+        for i in range(nx):
+            w, e = bw[i], bw[i + 1]
+
+            def between(breaks):
+                if breaks is None:
+                    return np.empty(0)
+                b = np.concatenate([breaks - 360.0, breaks, breaks + 360.0])
+                return np.sort(b[(b > w + 1e-9) & (b < e - 1e-9)])
+
+            sb = between(nbrk_s)
+            nb = between(nbrk_n)
+            pts = (
+                [(w, lat_s)]
+                + [(x, lat_s) for x in sb]
+                + [(e, lat_s), (e, lat_n)]
+                + [(x, lat_n) for x in nb[::-1]]
+                + [(w, lat_n)]
+            )
+            all_polys.append(pts)
+            counts.append(len(pts))
+
+    counts = np.asarray(counts, dtype=np.int64)
+    cap = int(counts.max())
+    verts_ll = np.zeros((len(all_polys), cap, 2))
+    for k, pts in enumerate(all_polys):
+        verts_ll[k, : len(pts)] = pts
+    verts = lonlat_to_xyz(verts_ll)
+    centers = lonlat_to_xyz(grid.lonlat())
+    return verts, counts, centers
+
+
+def _cubed_sphere_cells(grid):
+    N = grid.N
+    u = np.arange(N + 1) / N * 2.0 - 1.0
+    if grid.stagger in ("ED", "LFR"):
+        a = np.tan(u * np.pi / 4.0)
+    else:
+        a = u
+    from ..grid.cubedsphere import _TILE_FRAMES
+
+    A, B = np.meshgrid(a, a, indexing="xy")
+    corners = np.empty((6, N + 1, N + 1, 3))
+    for t, (c, tx, ty) in enumerate(_TILE_FRAMES):
+        c, tx, ty = (np.asarray(v, dtype=np.float64) for v in (c, tx, ty))
+        p = c[None, None] + A[..., None] * tx[None, None] + B[..., None] * ty[None, None]
+        corners[t] = p / np.linalg.norm(p, axis=-1, keepdims=True)
+    # cell (t, j, i): corners (j,i), (j,i+1), (j+1,i+1), (j+1,i)
+    v00 = corners[:, :-1, :-1]
+    v01 = corners[:, :-1, 1:]
+    v11 = corners[:, 1:, 1:]
+    v10 = corners[:, 1:, :-1]
+    quads = np.stack([v00, v01, v11, v10], axis=3).reshape(-1, 4, 3)
+    # enforce CCW orientation viewed from outside (positive area)
+    areas = polygon_area(quads, np.full(len(quads), 4))
+    flip = areas < 0
+    quads[flip] = quads[flip][:, ::-1]
+    counts = np.full(len(quads), 4, dtype=np.int64)
+    centers = grid.xyz()
+    return quads, counts, centers
+
+
+def _star_triangulate(verts, counts, centers):
+    """Fan-triangulate each polygon from its (unit-sphere) center.
+
+    Exact-tiling cell boundaries are shared polylines, which makes the
+    polygons weakly non-convex at subdivision vertices; cells remain
+    star-shaped about their centers, so the center fan gives positively
+    oriented convex triangles covering the cell exactly. Returns
+    (tris (ntri, 3, 3), owner (ntri,)).
+    """
+    tris = []
+    owners = []
+    for k in range(len(verts)):
+        n = int(counts[k])
+        c = centers[k] / np.linalg.norm(centers[k])
+        for e in range(n):
+            a = verts[k, e]
+            b = verts[k, (e + 1) % n]
+            tris.append((c, a, b))
+            owners.append(k)
+    return np.asarray(tris), np.asarray(owners, dtype=np.int64)
+
+
+class ConservativeSphericalPolygon(Method):
+    def __init__(self, src_grid, tgt_grid, order: int = 1):
+        from scipy.spatial import cKDTree
+
+        if order != 1:
+            raise NotImplementedError("only first-order conservative remap")
+        sv, sc, s_centers = cell_polygons(src_grid)
+        tv, tc, t_centers = cell_polygons(tgt_grid)
+        self.nsrc = len(sv)
+
+        s_tris, s_owner = _star_triangulate(sv, sc, s_centers)
+        t_tris, t_owner = _star_triangulate(tv, tc, t_centers)
+        s_cent = s_tris.mean(axis=1)
+        s_cent /= np.linalg.norm(s_cent, axis=1, keepdims=True)
+        t_cent = t_tris.mean(axis=1)
+        t_cent /= np.linalg.norm(t_cent, axis=1, keepdims=True)
+        s_diam = np.linalg.norm(s_tris - s_cent[:, None], axis=-1).max(axis=1)
+        t_diam = np.linalg.norm(t_tris - t_cent[:, None], axis=-1).max(axis=1)
+
+        tree = cKDTree(s_cent)
+        groups = tree.query_ball_point(t_cent, r=t_diam + s_diam.max())
+        pairs_t = []
+        pairs_s = []
+        for ti, g in enumerate(groups):
+            pairs_t.append(np.full(len(g), ti))
+            pairs_s.append(np.asarray(g, dtype=np.int64))
+        pt_tri = np.concatenate(pairs_t)
+        ps_tri = np.concatenate(pairs_s)
+
+        cap = 8
+        three_s = np.full(len(ps_tri), 3, dtype=np.int64)
+        three_t = np.full(len(pt_tri), 3, dtype=np.int64)
+        inter, n_inter = intersect_polygons(
+            _pad_to(s_tris[ps_tri], cap), three_s, t_tris[pt_tri], three_t, capacity=cap
+        )
+        areas = polygon_area(inter, n_inter)
+        keep = areas > 1e-16
+        pt_tri, ps_tri, areas = pt_tri[keep], ps_tri[keep], areas[keep]
+
+        # aggregate triangle-pair areas to (target cell, source cell)
+        pt_cell = t_owner[pt_tri]
+        ps_cell = s_owner[ps_tri]
+        key = pt_cell * np.int64(self.nsrc) + ps_cell
+        uniq, inv = np.unique(key, return_inverse=True)
+        agg = np.bincount(inv, weights=areas)
+        pt = (uniq // self.nsrc).astype(np.int64)
+        ps = (uniq % self.nsrc).astype(np.int64)
+
+        t_area = polygon_area(tv, tc)
+        w = agg / t_area[pt]
+
+        # pack into padded (ntgt, kmax)
+        order_idx = np.argsort(pt, kind="stable")
+        pt, ps, w = pt[order_idx], ps[order_idx], w[order_idx]
+        cnt = np.bincount(pt, minlength=len(tv))
+        kmax = int(cnt.max())
+        self.idx = np.zeros((len(tv), kmax), dtype=np.int32)
+        self.w = np.zeros((len(tv), kmax))
+        starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        col = np.arange(len(pt)) - starts[pt]
+        self.idx[pt, col] = ps
+        self.w[pt, col] = w
+        self.coverage = self.w.sum(axis=1)  # ~1 when covers match
+
+
+@interpolation_factory.register("conservative-spherical-polygon")
+def _conservative(config, source, target):
+    return ConservativeSphericalPolygon(source, target)
