@@ -1,4 +1,5 @@
 from .legendre import legendre_polynomials, spectral_index, nspec2
 from .trans_local import TransLocal
+from .vordiv import VorDivToUV
 
-__all__ = ["TransLocal", "legendre_polynomials", "spectral_index", "nspec2"]
+__all__ = ["TransLocal", "VorDivToUV", "legendre_polynomials", "spectral_index", "nspec2"]

@@ -116,3 +116,76 @@ def test_vortex_field_spectral_content():
     # and inverse reproduces the field up to truncation error
     back = np.asarray(trans.invtrans(spec))
     assert np.abs(back - f).max() < 0.05 * np.abs(f).max()
+
+
+def test_vordiv_to_uv_solid_body():
+    """Solid-body rotation: zeta = 2 u0/R sin(lat), D = 0 -> U = u0 cos^2."""
+    from atlas_tpu.trans import VorDivToUV
+    from atlas_tpu.util.constants import EARTH_RADIUS
+
+    T = 15
+    u0, R = 20.0, EARTH_RADIUS
+    ms, ns = spectral_index(T)
+    zeta = np.zeros(nspec2(T))
+    k10 = int(np.flatnonzero((ms == 0) & (ns == 1))[0])
+    zeta[2 * k10] = 2 * u0 / R / np.sqrt(3.0)
+    U, V = VorDivToUV(T, R).execute(zeta, np.zeros_like(zeta))
+    grid = Grid("F24")
+    trans = TransLocal(grid, T, dtype=np.float64)
+    Ug = np.asarray(trans.invtrans(U))
+    lat = np.deg2rad(grid.lonlat()[:, 1])
+    np.testing.assert_allclose(Ug, u0 * np.cos(lat) ** 2, atol=1e-13)
+    assert np.abs(np.asarray(trans.invtrans(V))).max() < 1e-13
+
+
+def test_vordiv_streamfunction_exactness():
+    """With vorticity content limited to n <= T-1, the truncation-T wind
+    spectra are exact: U/cos == -grad_phi(psi)/R evaluated spectrally.
+
+    (U = u cos carries degree n+1 content, so winds from truncation-T
+    vorticity are complete only for input content <= T-1 — the reference's
+    convention too, vd2uv output ilcm = truncation - km.)"""
+    from atlas_tpu.trans import VorDivToUV
+    from atlas_tpu.trans.legendre import legendre_polynomials
+    from atlas_tpu.util.constants import EARTH_RADIUS
+
+    T = 7
+    R = EARTH_RADIUS
+    rng = np.random.default_rng(1)
+    ms, ns = spectral_index(T)
+    zeta = rng.normal(size=nspec2(T)) * 1e-5
+    zeta[2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    for k in np.flatnonzero((ns == 0) | (ns == T)):  # content <= T-1
+        zeta[2 * k] = 0.0
+        zeta[2 * k + 1] = 0.0
+    L = np.where(ns > 0, -R * R / (ns * (ns + 1.0)), 0.0)
+    psi = np.zeros_like(zeta)
+    psi[0::2] = L * zeta[0::2]
+    psi[1::2] = L * zeta[1::2]
+    U, V = VorDivToUV(T, R).execute(zeta, np.zeros_like(zeta))
+
+    def eval_spec(spec, lon_deg, lat_deg):
+        x = np.sin(np.deg2rad(np.atleast_1d(lat_deg)))
+        P = legendre_polynomials(T, x)
+        lam = np.deg2rad(lon_deg)
+        re, im = spec[0::2], spec[1::2]
+        out = np.zeros(len(x))
+        for k in range(len(ms)):
+            out += P[:, k] * (re[k] * np.cos(ms[k] * lam) - im[k] * np.sin(ms[k] * lam))
+        return out
+
+    d = 1e-5
+    for lon0, lat0 in [(33.0, 40.0), (200.0, -55.0), (10.0, 5.0)]:
+        dpsi = (eval_spec(psi, lon0, lat0 + d) - eval_spec(psi, lon0, lat0 - d)) / (
+            2 * np.deg2rad(d)
+        )
+        u_num = float(-dpsi / R)
+        u_vd = float(eval_spec(U, lon0, lat0) / np.cos(np.deg2rad(lat0)))
+        assert abs(u_vd - u_num) < 1e-5 * max(abs(u_num), 1.0)
+        # V from pure streamfunction: v = (1/(R cos)) dpsi/dlambda
+        dlam = (eval_spec(psi, lon0 + d, lat0) - eval_spec(psi, lon0 - d, lat0)) / (
+            2 * np.deg2rad(d)
+        )
+        v_num = float(dlam / (R * np.cos(np.deg2rad(lat0))))
+        v_vd = float(eval_spec(V, lon0, lat0) / np.cos(np.deg2rad(lat0)))
+        assert abs(v_vd - v_num) < 1e-5 * max(abs(v_num), 1.0)
