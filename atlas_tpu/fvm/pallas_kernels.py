@@ -45,13 +45,13 @@ def build_gradient_kernel(keys, ny, nxw, nk):
 
     def kernel(Sx_ref, Sy_ref, G_ref, fprev_ref, f_ref, fnext_ref, gx_ref, gy_ref):
         f = f_ref[0]  # (TJ, LI, nxw)
-        fp = fprev_ref[0]
-        fn = fnext_ref[0]
+        fp = fprev_ref[0]  # (1, LI, nxw): last row of the previous row-tile
+        fn = fnext_ref[0]  # (1, LI, nxw): first row of the next row-tile
 
         rows = {
             0: f,
-            1: jnp.concatenate([f[1:], fn[:1]], axis=0),
-            -1: jnp.concatenate([fp[-1:], f[:-1]], axis=0),
+            1: jnp.concatenate([f[1:], fn], axis=0),
+            -1: jnp.concatenate([fp, f[:-1]], axis=0),
         }
         acc_x = jnp.zeros_like(f)
         acc_y = jnp.zeros_like(f)
@@ -80,12 +80,19 @@ def gradient_pallas(keys, Sx, Sy, G, ft, interpret=False):
 
     grid = (ny_t, lo)
 
-    def f_spec(row_offset):
-        def index_map(jt, lt):
-            j = jnp.clip(jt + row_offset, 0, ny_t - 1)
-            return (lt, j, 0, 0)
+    def f_spec():
+        return pl.BlockSpec(
+            (1, TJ, li, nxw), lambda jt, lt: (lt, jt, 0, 0), memory_space=pltpu.VMEM
+        )
 
-        return pl.BlockSpec((1, TJ, li, nxw), index_map, memory_space=pltpu.VMEM)
+    def f_row_spec(row_offset):
+        """Single neighbour ROW (not a whole tile): 2/TJ the halo traffic."""
+
+        def index_map(jt, lt):
+            row = jnp.clip(jt * TJ + row_offset, 0, ny - 1)
+            return (lt, row, 0, 0)
+
+        return pl.BlockSpec((1, 1, li, nxw), index_map, memory_space=pltpu.VMEM)
 
     S_spec = pl.BlockSpec(
         (nk, TJ, nxw), lambda jt, lt: (0, jt, 0), memory_space=pltpu.VMEM
@@ -101,7 +108,7 @@ def gradient_pallas(keys, Sx, Sy, G, ft, interpret=False):
     gx, gy = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[S_spec, S_spec, G_spec, f_spec(-1), f_spec(0), f_spec(1)],
+        in_specs=[S_spec, S_spec, G_spec, f_row_spec(-1), f_spec(), f_row_spec(TJ)],
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct(ft.shape, ft.dtype),

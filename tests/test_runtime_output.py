@@ -73,3 +73,34 @@ def test_cli_gaussian_latitudes():
 
     lats, w = gaussian_quadrature_npole_spole(8)
     assert abs(lat0 - lats[0]) < 1e-12
+
+
+def test_record_roundtrip(tmp_path):
+    from atlas_tpu.io.record import RecordReader, RecordWriter
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(13, 7))
+    b = np.arange(100, dtype=np.int32)
+    path = str(tmp_path / "test.rec")
+    w = RecordWriter()
+    w.set("a", a, {"units": "m"})
+    w.set("b", b)
+    w.write(path)
+    r = RecordReader(path)
+    assert set(r.keys()) == {"a", "b"}
+    np.testing.assert_array_equal(r.read("a"), a)
+    np.testing.assert_array_equal(r.read("b"), b)
+    assert r.metadata("a")["units"] == "m"
+    # individual reads don't need the rest of the file
+    assert r.read("b").dtype == np.int32
+
+
+def test_library_information():
+    from atlas_tpu import library
+
+    library.initialise()
+    assert library.initialised()
+    info = library.information()
+    assert "atlas_tpu" in info and "numpy" in info
+    library.finalise()
+    assert not library.initialised()
