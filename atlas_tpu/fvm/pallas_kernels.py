@@ -44,14 +44,17 @@ def build_gradient_kernel(keys, ny, nxw, nk):
     """keys: list of (dj, dc) matching the stacked S arrays (nk, ny, nxw, 2)."""
 
     def kernel(Sx_ref, Sy_ref, G_ref, fprev_ref, f_ref, fnext_ref, gx_ref, gy_ref):
+        # NOTE: fprev/fnext are full neighbour TILES (3x field fetch); single-
+        # row neighbour blocks (1, 1, LI, nxw) would cut traffic to 1 + 2/TJ
+        # but mixed block shapes hang this platform's remote Mosaic compiler.
         f = f_ref[0]  # (TJ, LI, nxw)
-        fp = fprev_ref[0]  # (1, LI, nxw): last row of the previous row-tile
-        fn = fnext_ref[0]  # (1, LI, nxw): first row of the next row-tile
+        fp = fprev_ref[0]
+        fn = fnext_ref[0]
 
         rows = {
             0: f,
-            1: jnp.concatenate([f[1:], fn], axis=0),
-            -1: jnp.concatenate([fp, f[:-1]], axis=0),
+            1: jnp.concatenate([f[1:], fn[:1]], axis=0),
+            -1: jnp.concatenate([fp[-1:], f[:-1]], axis=0),
         }
         acc_x = jnp.zeros_like(f)
         acc_y = jnp.zeros_like(f)
@@ -80,19 +83,12 @@ def gradient_pallas(keys, Sx, Sy, G, ft, interpret=False):
 
     grid = (ny_t, lo)
 
-    def f_spec():
-        return pl.BlockSpec(
-            (1, TJ, li, nxw), lambda jt, lt: (lt, jt, 0, 0), memory_space=pltpu.VMEM
-        )
-
-    def f_row_spec(row_offset):
-        """Single neighbour ROW (not a whole tile): 2/TJ the halo traffic."""
-
+    def f_spec(row_offset=0):
         def index_map(jt, lt):
-            row = jnp.clip(jt * TJ + row_offset, 0, ny - 1)
-            return (lt, row, 0, 0)
+            j = jnp.clip(jt + row_offset, 0, ny_t - 1)
+            return (lt, j, 0, 0)
 
-        return pl.BlockSpec((1, 1, li, nxw), index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, TJ, li, nxw), index_map, memory_space=pltpu.VMEM)
 
     S_spec = pl.BlockSpec(
         (nk, TJ, nxw), lambda jt, lt: (0, jt, 0), memory_space=pltpu.VMEM
@@ -108,7 +104,7 @@ def gradient_pallas(keys, Sx, Sy, G, ft, interpret=False):
     gx, gy = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[S_spec, S_spec, G_spec, f_row_spec(-1), f_spec(), f_row_spec(TJ)],
+        in_specs=[S_spec, S_spec, G_spec, f_spec(-1), f_spec(0), f_spec(1)],
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct(ft.shape, ft.dtype),
