@@ -75,6 +75,11 @@ def _fe(config, source, target):
 
     if not isinstance(source, Mesh):
         from ..mesh import generate_mesh
+        from .unstructured import remap_to_grid
 
-        source = generate_mesh(source)
+        grid = source
+        source = generate_mesh(grid)
+        return remap_to_grid(
+            FiniteElement(source, _target_points(target)), source, grid.size
+        )
     return FiniteElement(source, _target_points(target))

@@ -134,3 +134,30 @@ def _boxes(grid):
 @interpolation_factory.register("grid-box-average")
 def _gba(config, source, target):
     return GridBoxAverage(source, target)
+
+
+class GridBoxMaximum(GridBoxAverage):
+    """Maximum of source boxes overlapping each target box.
+
+    Reference: method/knn/GridBoxMaximum.cc ("grid-box-maximum") — same box
+    overlaps as grid-box-average, but the target value is the maximum source
+    value over boxes with non-zero overlap (non-linear, no weights applied).
+    """
+
+    def execute(self, field):
+        import jax.numpy as jnp
+
+        field = jnp.asarray(field)
+        vals = field[jnp.asarray(self.idx)]  # (ntgt, k, ...)
+        w = jnp.asarray(self.w)
+        mask = (w > 0).reshape(w.shape + (1,) * (field.ndim - 1))
+        neg_inf = jnp.asarray(-jnp.inf, field.dtype)
+        return jnp.where(mask, vals, neg_inf).max(axis=1)
+
+    def execute_adjoint(self, field):
+        raise NotImplementedError("grid-box-maximum is non-linear (reference raises too)")
+
+
+@interpolation_factory.register("grid-box-maximum")
+def _gbm(config, source, target):
+    return GridBoxMaximum(source, target)

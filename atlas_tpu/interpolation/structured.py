@@ -82,6 +82,23 @@ class StructuredInterpolation2D(Method):
         # y Lagrange weights across the k row latitudes
         wy = _lagrange_weights(y[rows], lat)  # (ntgt, k)
 
+        if self.kind == "quasicubic" and k == 4:
+            # reference QuasiCubicHorizontalKernel (method/structured/kernels/
+            # QuasiCubicHorizontalKernel.h): 12-point stencil — cubic along the
+            # two interior rows, LINEAR along the outer rows.
+            for r in (0, 3):
+                fi_r = fi[:, r]
+                i_lin = np.floor(fi_r).astype(np.int64)
+                a = fi_r - i_lin
+                lin = np.zeros_like(wx[:, r, :])
+                pos0 = i_lin - i0[:, r]  # slot of the west linear point
+                valid = (pos0 >= 0) & (pos0 + 1 < k)
+                pos0 = np.clip(pos0, 0, k - 2)
+                rows_t = np.arange(ntgt)
+                lin[rows_t, pos0] = 1.0 - a
+                lin[rows_t, pos0 + 1] = a
+                wx[:, r, :] = np.where(valid[:, None], lin, wx[:, r, :])
+
         w = wy[:, :, None] * wx  # (ntgt, k, k)
         self.idx = idx.reshape(ntgt, k * k).astype(np.int32)
         self.w = w.reshape(ntgt, k * k)
