@@ -1,5 +1,6 @@
 from .structured_columns import StructuredColumns, BlockStructuredColumns
 from .node_columns import NodeColumns
+from .cell_columns import CellColumns, EdgeColumns
 from .spectral import Spectral
 from .point_cloud import PointCloud
 
@@ -7,6 +8,8 @@ __all__ = [
     "StructuredColumns",
     "BlockStructuredColumns",
     "NodeColumns",
+    "CellColumns",
+    "EdgeColumns",
     "Spectral",
     "PointCloud",
 ]

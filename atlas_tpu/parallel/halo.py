@@ -165,3 +165,49 @@ def apply_schedule(sched: HaloSchedule, f_loc, axis_name: str):
     ldst = jnp.asarray(sched.local_dst)
     f_loc = f_loc.at[ldst[me]].set(f_loc[lsrc[me]], mode="drop")
     return sched.apply(f_loc, axis_name)
+
+
+def apply_schedule_adjoint(sched: HaloSchedule, f_loc, axis_name: str):
+    """Adjoint halo exchange inside shard_map.
+
+    Reference behavior (parallel/HaloExchange.h:227-290 execute_adjoint): the
+    transpose of "ghost <- owner copy" — every ghost value is SUMMED into its
+    owner row and the ghost rows (and dummy row) are zeroed. Runs the forward
+    ppermute rounds with reversed (src, dst) pairs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    me = jax.lax.axis_index(axis_name)
+    dummy = sched.dummy
+
+    # Ghost rows must only be consumed ONCE: snapshot them, then zero them in
+    # f_loc up front so later rounds / reductions cannot double-count, and so
+    # the dummy row (which padded gathers read) stays zero throughout.
+    ghosts = f_loc  # snapshot of incoming values
+    f_loc = f_loc.at[dummy].set(0)
+    for r in range(sched.n_rounds):
+        recv_idx = jnp.asarray(sched.recv_idx[r])
+        f_loc = f_loc.at[recv_idx[me]].set(0)
+    lsrc = jnp.asarray(sched.local_src)
+    ldst = jnp.asarray(sched.local_dst)
+    f_loc = f_loc.at[ldst[me]].set(0)
+
+    ghosts = ghosts.at[dummy].set(0)  # padded gathers read zero
+
+    # reversed ppermute rounds: gather ghost values, add into owner rows.
+    # Padded send slots point at local row 0, but their ghost-side buffer
+    # entries are exactly zero (they read the zeroed dummy row), so the adds
+    # are no-ops.
+    for r in range(sched.n_rounds):
+        send_idx = jnp.asarray(sched.send_idx[r])  # forward pack map (owners)
+        recv_idx = jnp.asarray(sched.recv_idx[r])  # forward unpack map (ghosts)
+        rev = [(d, s) for (s, d) in sched.perm[r]]
+        buf = ghosts[recv_idx[me]]
+        buf = jax.lax.ppermute(buf, axis_name, rev)
+        f_loc = f_loc.at[send_idx[me]].add(buf)
+
+    # local (same-shard periodic) copies: owner += ghost; padded slots read
+    # the zero dummy row and add into row 0 (no-op)
+    f_loc = f_loc.at[lsrc[me]].add(ghosts[ldst[me]])
+    return f_loc
