@@ -3,6 +3,7 @@ from .node_columns import NodeColumns
 from .cell_columns import CellColumns, EdgeColumns
 from .spectral import Spectral
 from .point_cloud import PointCloud
+from .cubedsphere import CubedSphereColumns
 
 __all__ = [
     "StructuredColumns",
@@ -12,4 +13,5 @@ __all__ = [
     "EdgeColumns",
     "Spectral",
     "PointCloud",
+    "CubedSphereColumns",
 ]

@@ -8,6 +8,7 @@ from . import conservative as _cons  # noqa: F401 (registers)
 from . import unstructured as _unstr  # noqa: F401 (registers)
 from . import binning as _binning  # noqa: F401 (registers)
 from . import spherical_vector as _sv  # noqa: F401 (registers)
+from . import cubedsphere as _cs  # noqa: F401 (registers)
 
 
 def assemble_global_matrix(method):
