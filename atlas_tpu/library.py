@@ -79,3 +79,55 @@ def information() -> str:
         )
     )
     return "\n".join(lines)
+
+
+def enable_floating_point_exceptions(enable: bool = True) -> None:
+    """Trap invalid/overflow/divide-by-zero.
+
+    Reference behavior: atlas library/FloatingPointExceptions.cc traps
+    FE_INVALID etc. with signal-handler stacktraces. The TPU analog: numpy
+    raises on host math, and jax_debug_nans re-runs offending jitted
+    computations un-jitted to localize the NaN/Inf producer.
+    """
+    import numpy as np
+
+    if enable:
+        np.seterr(invalid="raise", divide="raise", over="raise")
+    else:
+        np.seterr(all="warn")
+    try:
+        import jax
+
+        jax.config.update("jax_debug_nans", enable)
+    except ImportError:
+        pass
+
+
+_plugins: dict = {}
+
+
+def load_plugin(name: str):
+    """Import a plugin module; its import side effects register new grids /
+    partitioners / interpolation methods with the factories.
+
+    Reference behavior: atlas library/Plugin.h + ATLAS_PLUGIN_PATH — external
+    libraries add factory builders at load time. Here a plugin is any
+    importable module (also searched under $ATLAS_TPU_PLUGIN_PATH).
+    """
+    import importlib
+    import sys
+
+    if name in _plugins:
+        return _plugins[name]
+    path = os.environ.get("ATLAS_TPU_PLUGIN_PATH")
+    if path:
+        for p in path.split(os.pathsep):
+            if p and p not in sys.path:
+                sys.path.insert(0, p)
+    mod = importlib.import_module(name)
+    _plugins[name] = mod
+    return mod
+
+
+def plugins() -> dict:
+    return dict(_plugins)
