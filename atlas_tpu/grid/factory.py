@@ -170,6 +170,21 @@ def _from_spec(spec: Config):
         )
     if gtype == "regional":
         return _regional(spec)
+    if gtype == "zonal_band":
+        # global in x, limited latitude band (reference Regional.cc:330 +
+        # domain/ZonalBandDomain.h)
+        nx = spec.get_int("nx")
+        ny = spec.get_int("ny")
+        north = spec.get_float("north", 90.0)
+        south = spec.get_float("south", -90.0)
+        y = np.linspace(north, south, ny)
+        return StructuredGrid(
+            spec.get_str("name", "zonal_band"),
+            np.full(ny, nx, dtype=np.int64),
+            y,
+            xmin=spec.get("xmin", 0.0),
+            periodic_x=True,
+        )
     if gtype == "healpix":
         from .healpix import HealpixGrid
 

@@ -51,8 +51,15 @@ class StructuredInterpolation2D(Method):
 
     def _build(self, grid, tgt, k):
         ntgt = len(tgt)
-        lon = tgt[:, 0] % 360.0
-        lat = tgt[:, 1]
+        if grid.periodic_x:
+            lon = tgt[:, 0] % 360.0
+            lat = tgt[:, 1]
+        else:
+            # regional grids: work in the grid's projected (x, y) space
+            # (reference method/structured/RegionalLinear2D.cc)
+            xy = grid.projection.lonlat2xy(tgt)
+            lon = xy[:, 0]
+            lat = xy[:, 1]
         ny = grid.ny
         y = grid.y  # descending north -> south
 
@@ -68,8 +75,12 @@ class StructuredInterpolation2D(Method):
         xminr = grid.xmin[rows]
         fi = (lon[:, None] - xminr) / dxr  # fractional index per row
         i0 = np.floor(fi).astype(np.int64) - (k // 2 - 1)
+        if not grid.periodic_x:
+            # regional grids: shift the whole stencil window inside the row so
+            # the Lagrange weights stay consistent (one-sided near edges)
+            i0 = np.clip(i0, 0, np.maximum(nxr - k, 0))
         cols = i0[:, None, :].transpose(0, 2, 1) + np.arange(k)[None, None, :]
-        # (ntgt, k rows, k cols); periodic wrap
+        # (ntgt, k rows, k cols); periodic wrap (no-op for regional: in range)
         cols_wrapped = np.mod(cols, nxr[:, :, None])
         idx = grid.row_offset[rows][:, :, None] + cols_wrapped  # (ntgt, k, k)
 
@@ -126,3 +137,10 @@ def _target_points(target):
     if hasattr(target, "lonlat"):
         return target.lonlat()
     raise TypeError(f"cannot extract target points from {type(target)}")
+
+
+@interpolation_factory.register("regional-linear-2d")
+def _regional_linear(config, source, target):
+    """Bilinear on a regional (projected, non-periodic) grid
+    (reference method/structured/RegionalLinear2D.cc)."""
+    return StructuredInterpolation2D(source, _target_points(target), kind="linear")

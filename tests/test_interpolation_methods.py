@@ -205,3 +205,57 @@ def test_assemble_global_matrix(src):
     W = assemble_global_matrix(interp)
     out = W @ f
     np.testing.assert_allclose(out, np.asarray(interp.execute(f)), atol=1e-12)
+
+
+def test_regional_linear_2d():
+    """Bilinear on a Lambert-conformal regional grid in projected space
+    (reference method/structured/RegionalLinear2D.cc)."""
+    reg = Grid(
+        {
+            "type": "regional",
+            "nx": 60,
+            "ny": 50,
+            "west": -500000.0,
+            "east": 500000.0,
+            "north": 400000.0,
+            "south": -400000.0,
+            "projection": {
+                "type": "lambert_conformal_conic",
+                "longitude0": 4.0,
+                "latitude0": 50.0,
+            },
+        }
+    )
+    ll = reg.lonlat()
+    f = np.sin(np.deg2rad(ll[:, 1])) * np.cos(np.deg2rad(ll[:, 0]))
+    rng = np.random.default_rng(0)
+    tx = rng.uniform(-400000, 400000, 300)
+    ty = rng.uniform(-300000, 300000, 300)
+    tll = reg.projection.xy2lonlat(np.stack([tx, ty], 1))
+    interp = Interpolation("regional-linear-2d", reg, tll)
+    out = np.asarray(interp.execute(f))
+    ref = np.sin(np.deg2rad(tll[:, 1])) * np.cos(np.deg2rad(tll[:, 0]))
+    assert np.abs(out - ref).max() < 1e-4
+    # edge clamp: a target outside the domain degrades to one-sided linear
+    # extrapolation without indexing errors
+    out_edge = np.asarray(
+        Interpolation(
+            "regional-linear-2d",
+            reg,
+            reg.projection.xy2lonlat(np.array([[-499999.0, 399999.0]])),
+        ).execute(f)
+    )
+    assert np.isfinite(out_edge).all()
+
+
+def test_zonal_band_grid():
+    zb = Grid({"type": "zonal_band", "nx": 64, "ny": 17, "north": 60.0, "south": -60.0})
+    assert zb.size == 64 * 17
+    assert zb.y[0] == 60.0 and zb.y[-1] == -60.0
+    assert zb.periodic_x
+    # interpolation works across the periodic seam
+    ll = zb.lonlat()
+    f = np.cos(np.deg2rad(ll[:, 0]))
+    interp = Interpolation("structured-bilinear", zb, np.array([[359.0, 0.0]]))
+    out = float(np.asarray(interp.execute(f))[0])
+    assert abs(out - np.cos(np.deg2rad(359.0))) < 1e-3
