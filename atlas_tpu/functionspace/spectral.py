@@ -14,11 +14,27 @@ from ..trans.legendre import nspec2, spectral_index
 
 
 class Spectral:
-    def __init__(self, truncation: int, levels: int | None = None):
+    def __init__(self, truncation: int, levels: int | None = None,
+                 nb_parts: int = 1, part: int = 0):
         self.truncation = int(truncation)
         self.levels = levels
-        self.nspec2 = nspec2(self.truncation)
+        self.nb_parts = int(nb_parts)
+        self.part = int(part)
         self.m, self.n = spectral_index(self.truncation)
+        if self.nb_parts > 1:
+            # distributed over zonal wavenumbers m, ectrans-style (reference
+            # Spectral.cc:54-75: nump/my_ms/nspec2 via the transi C API)
+            from ..trans.dist import SpectralDistribution
+
+            self._dist = SpectralDistribution(self.truncation, self.nb_parts)
+            self.my_ms = self._dist.my_ms(self.part)
+            self.nump = self._dist.nump(self.part)
+            self.nspec2 = self._dist.nspec2(self.part)
+        else:
+            self._dist = None
+            self.my_ms = np.arange(self.truncation + 1)
+            self.nump = self.truncation + 1
+            self.nspec2 = nspec2(self.truncation)
 
     @property
     def nb_spectral_coefficients(self) -> int:
@@ -26,7 +42,7 @@ class Spectral:
 
     @property
     def nb_spectral_coefficients_global(self) -> int:
-        return self.nspec2
+        return nspec2(self.truncation)
 
     def create_field(self, name="spectral", levels=None, dtype=np.float64):
         levels = levels if levels is not None else self.levels

@@ -1,5 +1,14 @@
 from .legendre import legendre_polynomials, spectral_index, nspec2
 from .trans_local import TransLocal
+from .dist import SpectralDistribution, TransDistributed
 from .vordiv import VorDivToUV
 
-__all__ = ["TransLocal", "VorDivToUV", "legendre_polynomials", "spectral_index", "nspec2"]
+__all__ = [
+    "TransLocal",
+    "TransDistributed",
+    "SpectralDistribution",
+    "VorDivToUV",
+    "legendre_polynomials",
+    "spectral_index",
+    "nspec2",
+]
