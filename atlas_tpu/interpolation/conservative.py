@@ -152,12 +152,47 @@ def _star_triangulate(verts, counts, centers):
     return np.asarray(tris), np.asarray(owners, dtype=np.int64)
 
 
+def _source_gradient_operator(centers, k=12):
+    """Tangent-plane least-squares gradient operator over cell centers.
+
+    For each cell s, fit f(c) ~ f(c_s) + g_s . (c - c_s) over the k nearest
+    neighbour centers with the radial component of g_s pinned to zero.
+    Returns (nbr (n, k) int64, coef (n, k, 3)) such that
+      g_s = sum_j coef[s, j] * (f[nbr[s, j]] - f[s]).
+    """
+    from scipy.spatial import cKDTree
+
+    n = len(centers)
+    k = min(k, n - 1)
+    tree = cKDTree(centers)
+    _, nbr = tree.query(centers, k=k + 1)
+    nbr = nbr[:, 1:]  # drop self
+
+    d = centers[nbr] - centers[:, None]                  # (n, k, 3)
+    # augmented row pins g . c_s = 0 (gradient tangent to the sphere)
+    A = np.concatenate([d, centers[:, None]], axis=1)    # (n, k+1, 3)
+    P = np.linalg.pinv(A)                                # (n, 3, k+1)
+    coef = np.transpose(P[:, :, :k], (0, 2, 1))          # (n, k, 3)
+    return nbr.astype(np.int64), coef
+
+
 class ConservativeSphericalPolygon(Method):
+    """First- and second-order conservative remap.
+
+    Reference: ConservativeSphericalPolygonInterpolation.h:25-80 — order 1
+    uses intersection areas as weights; order 2 adds a source-gradient term
+    evaluated at the intersection centroid (g_s . (centroid - c_s)), with the
+    gradient estimated by a tangent-plane least-squares fit over neighbouring
+    source cells. The composed operator is repacked into the same padded
+    (idx, w) form, so execution/adjoint/matrix are shared with order 1.
+    """
+
     def __init__(self, src_grid, tgt_grid, order: int = 1):
         from scipy.spatial import cKDTree
 
-        if order != 1:
-            raise NotImplementedError("only first-order conservative remap")
+        if order not in (1, 2):
+            raise ValueError("conservative remap order must be 1 or 2")
+        self.order = order
         sv, sc, s_centers = cell_polygons(src_grid)
         tv, tc, t_centers = cell_polygons(tgt_grid)
         self.nsrc = len(sv)
@@ -181,17 +216,17 @@ class ConservativeSphericalPolygon(Method):
         pt_tri = np.concatenate(pairs_t)
         ps_tri = np.concatenate(pairs_s)
 
-        cap = 8
-        three_s = np.full(len(ps_tri), 3, dtype=np.int64)
-        three_t = np.full(len(pt_tri), 3, dtype=np.int64)
-        inter, n_inter = intersect_polygons(
-            _pad_to(s_tris[ps_tri], cap), three_s, t_tris[pt_tri], three_t, capacity=cap
-        )
-        areas = polygon_area(inter, n_inter)
-        keep = areas > 1e-16
-        pt_tri, ps_tri, areas = pt_tri[keep], ps_tri[keep], areas[keep]
+        # clip all candidate triangle pairs in native code (csp.cc): areas +
+        # centroids of the overlaps in one pass
+        from ..native import csp_intersect
 
-        # aggregate triangle-pair areas to (target cell, source cell)
+        three = np.full(len(ps_tri), 3, dtype=np.int64)
+        areas, cents = csp_intersect(s_tris[ps_tri], three, t_tris[pt_tri], three)
+        keep = areas > 1e-16
+        pt_tri, ps_tri = pt_tri[keep], ps_tri[keep]
+        areas, cents = areas[keep], cents[keep]
+
+        # aggregate triangle-pair overlaps to (target cell, source cell)
         pt_cell = t_owner[pt_tri]
         ps_cell = s_owner[ps_tri]
         key = pt_cell * np.int64(self.nsrc) + ps_cell
@@ -202,6 +237,41 @@ class ConservativeSphericalPolygon(Method):
 
         t_area = polygon_area(tv, tc)
         w = agg / t_area[pt]
+
+        if order == 2:
+            # area-weighted overlap centroids, relative to source centers
+            cw = np.stack(
+                [np.bincount(inv, weights=areas * cents[:, c]) for c in range(3)],
+                axis=-1,
+            ) / agg[:, None]
+            cw /= np.maximum(np.linalg.norm(cw, axis=-1, keepdims=True), 1e-300)
+            s_ctr = s_centers / np.linalg.norm(s_centers, axis=-1, keepdims=True)
+            disp = cw - s_ctr[ps]                        # (npair, 3)
+
+            import scipy.sparse as sp
+
+            nbr, coef = _source_gradient_operator(s_ctr)
+            n, kg = nbr.shape
+            rows = np.repeat(np.arange(n), kg)
+            Gd = []
+            for c in range(3):
+                vals = coef[:, :, c].ravel()
+                diag = -coef[:, :, c].sum(axis=1)
+                G = sp.csr_matrix((vals, (rows, nbr.ravel())), shape=(n, n))
+                G += sp.diags(diag)
+                Gd.append(G)
+
+            ntgt = len(tv)
+            W0 = sp.csr_matrix((w, (pt, ps)), shape=(ntgt, n))
+            W = W0
+            for c in range(3):
+                Ac = sp.csr_matrix((w * disp[:, c], (pt, ps)), shape=(ntgt, n))
+                W = W + Ac @ Gd[c]
+            W = W.tocsr()
+            W.eliminate_zeros()
+            pt = np.repeat(np.arange(ntgt), np.diff(W.indptr))
+            ps = W.indices.astype(np.int64)
+            w = W.data
 
         # pack into padded (ntgt, kmax)
         order_idx = np.argsort(pt, kind="stable")
@@ -219,4 +289,10 @@ class ConservativeSphericalPolygon(Method):
 
 @interpolation_factory.register("conservative-spherical-polygon")
 def _conservative(config, source, target):
-    return ConservativeSphericalPolygon(source, target)
+    order = 1
+    if hasattr(config, "get_int"):
+        try:
+            order = config.get_int("order", 1)
+        except Exception:
+            order = 1
+    return ConservativeSphericalPolygon(source, target, order=order)

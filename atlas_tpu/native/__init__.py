@@ -1,16 +1,18 @@
 """Native (C++) setup-path components, built on demand with g++.
 
-The reference implements its setup-heavy graph algorithms in C++; we do the
-same for the pieces where vectorized numpy is awkward or slow (currently the
-mesh-row zipper; halo set construction and spherical polygon clipping follow
-the same pattern). The shared library is compiled once per source hash into
-the package directory; a pure-Python fallback with identical semantics keeps
+The reference implements its setup-heavy graph/geometry algorithms in C++; we
+do the same for the pieces where vectorized numpy is awkward or slow: the
+mesh-row zipper (src/zipper.cc), spherical-polygon clipping for conservative
+remap weights (src/csp.cc). All sources under src/ are compiled into ONE
+shared library, rebuilt when any source changes (content hash in the file
+name); ctypes bindings with pure-Python fallbacks of identical semantics keep
 everything working where no compiler is available.
 """
 
 from __future__ import annotations
 
 import ctypes
+import glob
 import hashlib
 import os
 import subprocess
@@ -19,25 +21,51 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "src", "zipper.cc")
+_SOURCES = sorted(glob.glob(os.path.join(_HERE, "src", "*.cc")))
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
 
+_F64P = ctypes.POINTER(ctypes.c_double)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+# name -> (restype, argtypes); applied when the library loads
+_SIGNATURES = {
+    "zip_rows": (
+        ctypes.c_int64,
+        [_F64P, ctypes.c_int64, _F64P, ctypes.c_int64, ctypes.c_double, _I64P],
+    ),
+    "csp_intersect": (
+        None,
+        [_F64P, _I64P, ctypes.c_int64, _F64P, _I64P, ctypes.c_int64,
+         ctypes.c_int64, _F64P, _F64P],
+    ),
+}
+
 
 def _build() -> str | None:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.md5(f.read()).hexdigest()[:12]
-    so_path = os.path.join(_HERE, f"_native_{digest}.so")
+    h = hashlib.md5()
+    for src in _SOURCES:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    so_path = os.path.join(_HERE, f"_native_{h.hexdigest()[:12]}.so")
     if os.path.exists(so_path):
         return so_path
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", so_path + ".tmp", _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", so_path + ".tmp"] + _SOURCES,
             check=True,
             capture_output=True,
         )
         os.replace(so_path + ".tmp", so_path)
+        for stale in glob.glob(os.path.join(_HERE, "_native_*.so")):
+            if stale != so_path:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         return so_path
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
@@ -54,19 +82,23 @@ def _get_lib():
                 _lib_failed = True
                 return None
             lib = ctypes.CDLL(path)
-            lib.zip_rows.restype = ctypes.c_int64
-            lib.zip_rows.argtypes = [
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.c_int64,
-                ctypes.c_double,
-                ctypes.POINTER(ctypes.c_int64),
-            ]
+            for name, (restype, argtypes) in _SIGNATURES.items():
+                fn = getattr(lib, name)
+                fn.restype = restype
+                fn.argtypes = argtypes
             _lib = lib
     return _lib
 
 
+def _ptr_f64(a):
+    return a.ctypes.data_as(_F64P)
+
+
+def _ptr_i64(a):
+    return a.ctypes.data_as(_I64P)
+
+
+# --------------------------------------------------------------------- zipper
 def zip_rows(xN: np.ndarray, xS: np.ndarray, max_angle_deg: float = 0.0) -> np.ndarray:
     """Element kinds for the zipper between two rows (atlas rules, angle=0).
 
@@ -80,14 +112,8 @@ def zip_rows(xN: np.ndarray, xS: np.ndarray, max_angle_deg: float = 0.0) -> np.n
     lib = _get_lib()
     if lib is not None:
         out = np.empty(endN + endS, dtype=np.int64)
-        n = lib.zip_rows(
-            xN.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            endN,
-            xS.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            endS,
-            float(max_angle_deg),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        )
+        n = lib.zip_rows(_ptr_f64(xN), endN, _ptr_f64(xS), endS,
+                         float(max_angle_deg), _ptr_i64(out))
         if n < 0:
             raise RuntimeError("zip_rows: inconsistent row positions")
         return out[:n]
@@ -138,3 +164,42 @@ def _zip_rows_py(xN, xS, max_angle_deg):
         if kind != 0:
             iS = iS2
     return np.asarray(kinds, dtype=np.int64)
+
+
+# ------------------------------------------------- spherical polygon clipping
+def csp_intersect(subj, subj_count, clip, clip_count):
+    """Areas + unit centroids of pairwise intersections of convex spherical
+    polygons (CCW unit vectors).
+
+    subj (M, NVS, 3), subj_count (M,), clip (M, NVC, 3), clip_count (M,)
+    -> (area (M,), centroid (M, 3); centroid is 0 where the overlap is empty).
+    """
+    subj = np.ascontiguousarray(subj, dtype=np.float64)
+    clip = np.ascontiguousarray(clip, dtype=np.float64)
+    subj_count = np.ascontiguousarray(subj_count, dtype=np.int64)
+    clip_count = np.ascontiguousarray(clip_count, dtype=np.int64)
+    M, nvs, _ = subj.shape
+    nvc = clip.shape[1]
+    lib = _get_lib()
+    if lib is not None:
+        area = np.empty(M)
+        cent = np.empty((M, 3))
+        lib.csp_intersect(_ptr_f64(subj), _ptr_i64(subj_count), nvs,
+                          _ptr_f64(clip), _ptr_i64(clip_count), nvc,
+                          M, _ptr_f64(area), _ptr_f64(cent))
+        return area, cent
+    return _csp_intersect_py(subj, subj_count, clip, clip_count)
+
+
+def _csp_intersect_py(subj, subj_count, clip, clip_count):
+    """Vectorized-numpy fallback (identical semantics)."""
+    from ..util.spherical_polygon import (
+        intersect_polygons, polygon_area, polygon_centroid, _pad_to)
+
+    cap = int(subj.shape[1] + clip.shape[1] + 8)
+    verts, count = intersect_polygons(
+        _pad_to(subj, cap), subj_count, clip, clip_count, capacity=cap)
+    area = polygon_area(verts, count)
+    cent = polygon_centroid(verts, count)
+    cent[area <= 0.0] = 0.0
+    return area, cent

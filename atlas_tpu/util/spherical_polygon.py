@@ -49,6 +49,58 @@ def polygon_area(verts: np.ndarray, count: np.ndarray) -> np.ndarray:
     return area
 
 
+def polygon_centroid(verts: np.ndarray, count: np.ndarray) -> np.ndarray:
+    """Unit centroids of (M, NV, 3) polygons: excess-weighted fan-triangle
+    centers, normalized (matches native csp.cc). Zero rows where area <= 0."""
+    M, NV, _ = verts.shape
+    acc = np.zeros((M, 3))
+    area = np.zeros(M)
+    a = verts[:, 0]
+    for k in range(1, NV - 1):
+        valid = count > k + 1
+        if not valid.any():
+            break
+        b = verts[valid, k]
+        c = verts[valid, k + 1]
+        e = triangle_excess(a[valid], b, c)
+        tc = a[valid] + b + c
+        tc /= np.maximum(np.linalg.norm(tc, axis=-1, keepdims=True), 1e-300)
+        acc[valid] += tc * e[:, None]
+        area[valid] += e
+    n = np.linalg.norm(acc, axis=-1, keepdims=True)
+    out = np.where((area > 0)[:, None], acc / np.maximum(n, 1e-300), 0.0)
+    return out
+
+
+def polygon_first_moment(verts: np.ndarray, count: np.ndarray) -> np.ndarray:
+    """Exact first moment M = integral of x dA over each spherical polygon.
+
+    Uses the surface identity  ∫_S r dA = (1/2) ∮ r × dr ; along a great-
+    circle arc a->b the line integral is  axis_hat * theta  with
+    axis = a × b and theta the arc angle. The exact area average of a linear
+    field a.x over the cell is then (a . M) / area — the reference check for
+    second-order conservative remapping.
+    Returns (M, NV->3) for (M, NV, 3) polygons with per-polygon counts.
+    """
+    M, NV, _ = verts.shape
+    out = np.zeros((M, 3))
+    slot = np.arange(NV)
+    for k in range(NV):
+        valid = count > max(k, 2)  # polygons need >= 3 vertices
+        if not valid.any():
+            break
+        a = verts[:, k]
+        nxt = (k + 1) % np.maximum(count, 1)
+        b = verts[np.arange(M), nxt]
+        cr = np.cross(a, b)
+        s = np.linalg.norm(cr, axis=-1)
+        theta = np.arctan2(s, np.einsum("mi,mi->m", a, b))
+        axis = cr / np.maximum(s, 1e-300)[:, None]
+        contrib = 0.5 * axis * theta[:, None]
+        out[valid & (slot[k] < count)] += contrib[valid & (slot[k] < count)]
+    return out
+
+
 def clip_by_plane(verts, count, normal, capacity):
     """One Sutherland-Hodgman step: keep the half-space normal . v >= 0.
 
