@@ -170,6 +170,8 @@ def _from_spec(spec: Config):
         )
     if gtype == "regional":
         return _regional(spec)
+    if gtype == "regional_variable_resolution":
+        return _regional_variable_resolution(spec)
     if gtype == "zonal_band":
         # global in x, limited latitude band (reference Regional.cc:330 +
         # domain/ZonalBandDomain.h)
@@ -198,6 +200,36 @@ def _from_spec(spec: Config):
 
         return UnstructuredGrid(np.asarray(spec["xy"], dtype=np.float64))
     raise KeyError(f"Unknown grid type {gtype!r}")
+
+
+def _regional_variable_resolution(spec: Config):
+    """Regional grid with LAM variable-resolution stretching.
+
+    Reference: grid "regional_variable_resolution" built over
+    VariableResolutionProjection (projection/detail/
+    VariableResolutionProjection.cc): the grid is uniform (delta_inner
+    spacing) in index space over [outer.xmin, outer.xend] x [outer.ymin,
+    outer.yend]; the projection stretches coordinates outside the inner box.
+    """
+    from ..projection.projection import projection_factory
+
+    pspec = dict(spec.get_config("projection") if "projection" in spec else spec)
+    ptype = pspec.pop("type", "variable_resolution")
+    proj = projection_factory.build(ptype, Config(pspec))
+    di = proj.delta_inner
+    eps = np.finfo(np.float32).eps
+    nx = int((proj.outer_xend - proj.outer_xmin + eps) / di) + 1
+    ny = int((proj.outer_yend - proj.outer_ymin + eps) / di) + 1
+    y = proj.outer_yend - di * np.arange(ny)  # north -> south rows
+    return StructuredGrid(
+        spec.get_str("name", "regional_variable_resolution"),
+        np.full(ny, nx, dtype=np.int64),
+        y,
+        xmin=proj.outer_xmin,
+        xspan=float((nx - 1) * di),
+        periodic_x=False,
+        projection=proj,
+    )
 
 
 def _regional(spec: Config):

@@ -110,3 +110,34 @@ class CustomSpacing(Spacing):
             values = np.asarray(config["values"], dtype=np.float64)
         values = np.asarray(values, dtype=np.float64)
         super().__init__(values, values[0], values[-1])
+
+
+@spacing_factory.register("focus")
+class FocusSpacing(Spacing):
+    """Focused spacing: points concentrated around the interval midpoint.
+
+    Reference: grid/detail/spacing/FocusSpacing.cc — x_i = mid +
+    (end-start)/pi * atan(tan(pi x2 / 2) / focus_factor) over x2 in [-1, 1];
+    focus_factor > 1 concentrates resolution at the midpoint.
+    """
+
+    def __init__(self, config=None, *, start=None, end=None, N=None,
+                 focus_factor=None):
+        if config is not None:
+            start = config["start"] if start is None else start
+            end = config["end"] if end is None else end
+            N = config["N"] if N is None else N
+            focus_factor = (config["focus_factor"]
+                            if focus_factor is None else focus_factor)
+        N = int(N)
+        start, end = float(start), float(end)
+        ff = float(focus_factor)
+        if N == 1:
+            vals = np.array([0.5 * (start + end)])
+        else:
+            x2 = -1.0 + 2.0 * np.arange(N) / (N - 1)
+            mid = 0.5 * (start + end)
+            vals = mid + (end - start) / np.pi * np.arctan(
+                np.tan(0.5 * np.pi * x2) / ff)
+            vals[0], vals[-1] = start, end
+        super().__init__(vals, start, end)

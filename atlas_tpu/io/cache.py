@@ -95,3 +95,20 @@ def load_shifts(path: str):
         )
     except Exception:
         return None
+
+
+def save_legendre(path: str, P_sym: np.ndarray, P_asym: np.ndarray) -> None:
+    """Persist precomputed Legendre tables (reference: LegendreCache binary
+    blobs exported/imported by TransLocal.cc:652-711)."""
+    np.savez_compressed(path + ".tmp.npz", P_sym=P_sym, P_asym=P_asym)
+    os.replace(path + ".tmp.npz", path)
+
+
+def load_legendre(path: str):
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return z["P_sym"], z["P_asym"]
+    except Exception:
+        return None

@@ -194,3 +194,46 @@ def build_mesh_from_arrays(
     mesh.fields["cell_corner_y"] = corner_y
     mesh.fields["cell_row"] = np.zeros(len(cn), np.int32)
     return mesh
+
+
+def write_load_balance_report(mesh: Mesh, path=None) -> str:
+    """Per-partition owned/ghost node and element counts.
+
+    Reference: mesh/actions/WriteLoadBalanceReport.cc — a table of nodes
+    (owned, ghost, total) and elements per partition, plus imbalance ratios.
+    Returns the report text; writes it to `path` when given.
+    """
+    import io as _io
+
+    part = np.asarray(mesh.nodes.partition)
+    ghost = np.asarray(mesh.nodes.ghost, dtype=bool)
+    nparts = int(part.max()) + 1 if len(part) else 1
+    owned = np.bincount(part[~ghost], minlength=nparts)
+    ghosts = np.bincount(part[ghost], minlength=nparts) if ghost.any() else np.zeros(nparts, int)
+
+    cells_per = None
+    if getattr(mesh, "cells", None) is not None and len(getattr(mesh.cells, "node_connectivity", [])):
+        conn = np.asarray(mesh.cells.node_connectivity)
+        first = conn[:, 0]
+        cells_per = np.bincount(part[first], minlength=nparts)
+
+    buf = _io.StringIO()
+    buf.write("# load balance report\n")
+    buf.write(f"# partitions: {nparts}\n")
+    header = f"{'part':>6} {'nodes_owned':>12} {'nodes_ghost':>12}"
+    if cells_per is not None:
+        header += f" {'cells':>10}"
+    buf.write(header + "\n")
+    for p in range(nparts):
+        line = f"{p:>6} {owned[p]:>12} {ghosts[p]:>12}"
+        if cells_per is not None:
+            line += f" {cells_per[p]:>10}"
+        buf.write(line + "\n")
+    mean = owned.mean() if nparts else 0.0
+    imb = owned.max() / mean if mean > 0 else 1.0
+    buf.write(f"# node imbalance (max/mean): {imb:.4f}\n")
+    text = buf.getvalue()
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text

@@ -295,3 +295,133 @@ class LambertConformalConicProjection(Projection):
             latitude2=self.lat2,
             radius=self.radius,
         )
+
+
+@projection_factory.register("variable_resolution")
+class VariableResolutionProjection(Projection):
+    """Variable-resolution (LAM stretching) projection.
+
+    Reference: atlas projection/detail/VariableResolutionProjection.cc
+    (Met Office scheme, Davies 2014 / Tang et al. 2013): an inner regular
+    region maps to itself; outside it, successive delta_inner-sized intervals
+    of the uniform index space stretch geometrically (width_i = delta_inner *
+    r^i with r chosen so the widths reach delta_outer after the stretched
+    zone), followed by a uniform coarse rim of spacing delta_outer.
+
+    The map is piecewise linear with breakpoints every delta_inner, identical
+    to the reference's remainder arithmetic (general_stretch :236-384), built
+    once as breakpoint tables and evaluated with np.interp. The reference's
+    +360 longitude normalization for lon < 180 is NOT applied; longitudes come
+    back in the caller's frame.
+
+    Config keys (flat, reference spec names): inner.dx, outer.dx, progression,
+    inner.xmin/xmax..., outer.xmin/xend/ymin/yend, rim_widthx, rim_widthy.
+    """
+
+    def __init__(self, config=None, **kwargs):
+        cfg = dict(config or {})
+        cfg.update(kwargs)
+        g = cfg.get
+        self.delta_inner = float(g("inner.dx", g("delta_inner", 0.0)))
+        self.delta_outer = float(g("outer.dx", g("delta_outer", self.delta_inner)))
+        self.var_ratio = float(g("progression", 1.0))
+        self.inner_xmin = float(g("inner.xmin", 0.0))
+        self.inner_xend = float(g("inner.xend", 0.0))
+        self.inner_ymin = float(g("inner.ymin", 0.0))
+        self.inner_yend = float(g("inner.yend", 0.0))
+        self.outer_xmin = float(g("outer.xmin", 0.0))
+        self.outer_xend = float(g("outer.xend", 0.0))
+        self.outer_ymin = float(g("outer.ymin", 0.0))
+        self.outer_yend = float(g("outer.yend", 0.0))
+        rimx = g("rim_widthx", g("outer.xwidth", 0.0))
+        if "outer.nx" in cfg:
+            rimx = self.delta_outer * cfg["outer.nx"]
+        rimy = g("rim_widthy", g("outer.ywidth", rimx))
+        if "outer.ny" in cfg:
+            rimy = self.delta_outer * cfg["outer.ny"]
+        self.rim_widthx = float(rimx)
+        self.rim_widthy = float(rimy)
+        self._cfg = cfg
+
+        if self.var_ratio != 1.0:
+            self._bx = self._breakpoints(
+                self.outer_xmin, self.outer_xend, self.inner_xmin,
+                self.inner_xend, self.rim_widthx)
+            self._by = self._breakpoints(
+                self.outer_ymin, self.outer_yend, self.inner_ymin,
+                self.inner_yend, self.rim_widthy)
+
+    def _breakpoints(self, outer_min, outer_end, inner_min, inner_end, rim_width):
+        """(uniform breakpoints, stretched breakpoints) for one direction."""
+        di, do = self.delta_inner, self.delta_outer
+        eps = np.finfo(np.float32).eps
+        n_rim = int(rim_width / do + eps)
+        n_side = int((inner_min - outer_min + eps) / di)  # intervals per side
+        n_st = n_side - n_rim
+        if n_st < 0:
+            raise ValueError("rim wider than the stretched zone")
+        # the reference's new_ratio: adjust r so the stretched zone spans the
+        # same distance counted in whole intervals (new_ratio :57-73)
+        var_ints = int((2 * n_st + eps) / 2.0)
+        log_r = (n_st - 0.5) * np.log(self.var_ratio)
+        r = np.exp(log_r / max(var_ints, 1))
+        widths = di * r ** np.arange(1, n_st + 1)      # stretched widths
+        side = np.concatenate([widths, np.full(n_rim, do)])
+        # uniform (index-space) breakpoints away from the inner edge
+        u = di * np.arange(1, n_side + 1)
+        s = np.cumsum(side)
+        # full tables: [outer reversed from inner_min] + inner + [outer]
+        ub = np.concatenate([inner_min - u[::-1], [inner_min, inner_end], inner_end + u])
+        sb = np.concatenate([inner_min - s[::-1], [inner_min, inner_end], inner_end + s])
+        return ub, sb
+
+    def xy2lonlat(self, xy):
+        xy = np.asarray(xy, dtype=np.float64)
+        if self.var_ratio == 1.0:
+            return xy.copy()
+        out = np.empty_like(xy)
+        out[..., 0] = np.interp(xy[..., 0], *self._bx)
+        out[..., 1] = np.interp(xy[..., 1], *self._by)
+        return out
+
+    def lonlat2xy(self, lonlat):
+        lonlat = np.asarray(lonlat, dtype=np.float64)
+        if self.var_ratio == 1.0:
+            return lonlat.copy()
+        out = np.empty_like(lonlat)
+        out[..., 0] = np.interp(lonlat[..., 0], self._bx[1], self._bx[0])
+        out[..., 1] = np.interp(lonlat[..., 1], self._by[1], self._by[0])
+        return out
+
+    @property
+    def identity(self):
+        return False
+
+    def spec(self):
+        return Config(type="variable_resolution", **self._cfg)
+
+
+@projection_factory.register("rotated_variable_resolution")
+class RotatedVariableResolutionProjection(VariableResolutionProjection):
+    """Variable-resolution stretching followed by a rotated-pole transform."""
+
+    def __init__(self, config=None, **kwargs):
+        cfg = dict(config or {})
+        cfg.update(kwargs)
+        rot_keys = {k: cfg.pop(k) for k in
+                    ("north_pole", "south_pole", "rotation_angle") if k in cfg}
+        super().__init__(cfg)
+        self._rot = RotatedLonLatProjection(**rot_keys)
+
+    def xy2lonlat(self, xy):
+        return self._rot.xy2lonlat(super().xy2lonlat(xy))
+
+    def lonlat2xy(self, lonlat):
+        return super().lonlat2xy(self._rot.lonlat2xy(lonlat))
+
+    def spec(self):
+        s = super().spec()
+        s["type"] = "rotated_variable_resolution"
+        s.update(self._rot.spec())
+        s["type"] = "rotated_variable_resolution"
+        return s

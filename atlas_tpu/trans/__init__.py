@@ -1,10 +1,11 @@
 from .legendre import legendre_polynomials, spectral_index, nspec2
-from .trans_local import TransLocal
+from .trans_local import LegendreCacheCreator, TransLocal
 from .dist import SpectralDistribution, TransDistributed
 from .vordiv import VorDivToUV
 
 __all__ = [
     "TransLocal",
+    "LegendreCacheCreator",
     "TransDistributed",
     "SpectralDistribution",
     "VorDivToUV",

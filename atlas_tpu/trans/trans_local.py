@@ -29,12 +29,14 @@ from .legendre import legendre_polynomials, nspec2, spectral_index
 
 
 class TransLocal:
-    def __init__(self, grid, truncation: int, dtype=jnp.float32):
+    def __init__(self, grid, truncation: int, dtype=jnp.float32,
+                 use_cache: bool = False):
         from ..grid.structured import StructuredGrid
 
         self.grid = grid
         self.truncation = int(truncation)
         self.dtype = jnp.dtype(dtype)
+        self.use_cache = bool(use_cache)
         if not isinstance(grid, StructuredGrid):
             raise TypeError("TransLocal requires a structured grid")
         self._setup()
@@ -50,22 +52,40 @@ class TransLocal:
         north_lats = lats[: self.nlat_half]
         sinlat = np.sin(north_lats * DEG2RAD)
 
-        P = legendre_polynomials(t, sinlat)  # (nlat_half, ncoef)
         ms, ns = spectral_index(t)
         parity = (ns - ms) % 2  # 0 symmetric, 1 antisymmetric
-
-        # padded per-m tensors: (T+1, nlat_half, nmax) with nmax = T+1
         nmax = t + 1
-        P_m = np.zeros((t + 1, self.nlat_half, nmax))
         self._coef_scatter = (ms, ns - ms)  # coefficient k -> (m, slot)
-        P_m[ms, :, ns - ms] = P.T.reshape(len(ms), self.nlat_half)
         sym_mask = np.zeros((t + 1, nmax))
         sym_mask[ms, ns - ms] = 1.0 - parity
-        asym_mask = np.zeros((t + 1, nmax))
-        asym_mask[ms, ns - ms] = parity.astype(np.float64)
 
-        self.P_sym = jnp.asarray(P_m * sym_mask[:, None, :], self.dtype)
-        self.P_asym = jnp.asarray(P_m * asym_mask[:, None, :], self.dtype)
+        # Legendre tables: disk-cached like the reference's LegendreCache
+        # (trans/Cache.h, TransLocal.cc:652-711), keyed by grid + truncation
+        cached = None
+        cpath = None
+        if self.use_cache:
+            from ..io.cache import cache_path, load_legendre
+
+            cpath = cache_path("legendre", f"T{t}-{grid.uid()[:12]}")
+            cached = load_legendre(cpath)
+        if cached is not None:
+            P_sym_np, P_asym_np = cached
+        else:
+            P = legendre_polynomials(t, sinlat)  # (nlat_half, ncoef)
+            # padded per-m tensors: (T+1, nlat_half, nmax) with nmax = T+1
+            P_m = np.zeros((t + 1, self.nlat_half, nmax))
+            P_m[ms, :, ns - ms] = P.T.reshape(len(ms), self.nlat_half)
+            asym_mask = np.zeros((t + 1, nmax))
+            asym_mask[ms, ns - ms] = parity.astype(np.float64)
+            P_sym_np = P_m * sym_mask[:, None, :]
+            P_asym_np = P_m * asym_mask[:, None, :]
+            if cpath is not None:
+                from ..io.cache import save_legendre
+
+                save_legendre(cpath, P_sym_np, P_asym_np)
+
+        self.P_sym = jnp.asarray(P_sym_np, self.dtype)
+        self.P_asym = jnp.asarray(P_asym_np, self.dtype)
         self.sym_mask = sym_mask
         self.parity = parity
         self.ms, self.ns = ms, ns
@@ -223,3 +243,39 @@ def _legendre_inv(P_sym, P_asym, coef):
     C_sym = jnp.einsum("mxn,fmnc->fmxc", P_sym, coef)
     C_asym = jnp.einsum("mxn,fmnc->fmxc", P_asym, coef)
     return C_sym + C_asym, C_sym - C_asym
+
+
+class LegendreCacheCreator:
+    """Create/inspect disk caches of Legendre tables.
+
+    Reference API: trans/LegendreCacheCreator.h + LegendreCacheCreatorLocal.cc
+    — `supported()`, `uid()`, `cache_exists()`, `create()`.
+    """
+
+    def __init__(self, grid, truncation: int):
+        from ..grid.structured import StructuredGrid
+
+        self.grid = grid
+        self.truncation = int(truncation)
+        self._supported = isinstance(grid, StructuredGrid)
+
+    def supported(self) -> bool:
+        return self._supported
+
+    def uid(self) -> str:
+        return f"T{self.truncation}-{self.grid.uid()[:12]}"
+
+    def cache_path(self) -> str:
+        from ..io.cache import cache_path
+
+        return cache_path("legendre", self.uid())
+
+    def cache_exists(self) -> bool:
+        import os
+
+        return os.path.exists(self.cache_path())
+
+    def create(self) -> str:
+        """Build (and persist) the tables; returns the cache file path."""
+        TransLocal(self.grid, self.truncation, use_cache=True)
+        return self.cache_path()

@@ -118,3 +118,36 @@ def test_missing_value():
     w = np.array([[0.5, 0.5], [0.5, 0.5]])
     w2 = mv.mask_interpolation_weights(idx, w, data)
     np.testing.assert_allclose(w2, [[1.0, 0.0], [0.0, 1.0]])
+
+
+def test_legendre_cache_roundtrip(tmp_path, monkeypatch):
+    """TransLocal Legendre tables cached to disk (reference LegendreCache)."""
+    import numpy as np
+
+    monkeypatch.setenv("ATLAS_TPU_CACHE_PATH", str(tmp_path))
+    from atlas_tpu import Grid
+    from atlas_tpu.trans import LegendreCacheCreator, TransLocal
+
+    g = Grid("F16")
+    creator = LegendreCacheCreator(g, 15)
+    assert creator.supported()
+    assert not creator.cache_exists()
+    path = creator.create()
+    assert creator.cache_exists()
+
+    cold = TransLocal(g, 15, dtype=np.float64)
+    warm = TransLocal(g, 15, dtype=np.float64, use_cache=True)
+    np.testing.assert_array_equal(np.asarray(cold.P_sym), np.asarray(warm.P_sym))
+    np.testing.assert_array_equal(np.asarray(cold.P_asym), np.asarray(warm.P_asym))
+
+
+def test_load_balance_report(tmp_path):
+    from atlas_tpu import Grid
+    from atlas_tpu.mesh import MeshGenerator
+    from atlas_tpu.mesh.actions import write_load_balance_report
+
+    mesh = MeshGenerator("structured").generate(Grid("O8"))
+    out = tmp_path / "lb.txt"
+    text = write_load_balance_report(mesh, str(out))
+    assert out.exists()
+    assert "nodes_owned" in text and "imbalance" in text
