@@ -40,13 +40,20 @@ def _cshift(a, dc):
     return jnp.pad(a, pad)[..., :nxw]
 
 
-def build_gradient_kernel(keys, ny, nxw, nk):
-    """keys: list of (dj, dc) matching the stacked S arrays (nk, ny, nxw, 2)."""
+def build_gradient_kernel(runs, keys, ny, nxw, nk):
+    """runs: ((jt_start, jt_end, key_ids), ...) — contiguous row-tile ranges
+    with their ACTIVE stencil keys; keys: (dj, dc) aligned with the stacked S
+    arrays. Reduced grids activate only ~60% of the global key set per
+    hemisphere (hemisphere row-alignment flips the dc sign range, pole keys
+    touch only the first/last tile), so branching per tile range cuts the
+    VPU FMA count accordingly — this kernel is FLOP-bound, not HBM-bound.
+    """
 
     def kernel(Sx_ref, Sy_ref, G_ref, fprev_ref, f_ref, fnext_ref, gx_ref, gy_ref):
         # NOTE: fprev/fnext are full neighbour TILES (3x field fetch); single-
         # row neighbour blocks (1, 1, LI, nxw) would cut traffic to 1 + 2/TJ
         # but mixed block shapes hang this platform's remote Mosaic compiler.
+        jt = pl.program_id(0)
         f = f_ref[0]  # (TJ, LI, nxw)
         fp = fprev_ref[0]
         fn = fnext_ref[0]
@@ -56,25 +63,38 @@ def build_gradient_kernel(keys, ny, nxw, nk):
             1: jnp.concatenate([f[1:], fn[:1]], axis=0),
             -1: jnp.concatenate([fp[-1:], f[:-1]], axis=0),
         }
-        acc_x = jnp.zeros_like(f)
-        acc_y = jnp.zeros_like(f)
-        for k, (dj, dc) in enumerate(keys):
-            fs = _cshift(rows[dj], dc)
-            acc_x = acc_x + fs * Sx_ref[k][:, None, :]
-            acc_y = acc_y + fs * Sy_ref[k][:, None, :]
-        gx_ref[0] = acc_x * G_ref[0][:, None, :]
-        gy_ref[0] = acc_y * G_ref[1][:, None, :]
+
+        def apply_keys(key_ids):
+            acc_x = jnp.zeros_like(f)
+            acc_y = jnp.zeros_like(f)
+            for k in key_ids:
+                dj, dc = keys[k]
+                fs = _cshift(rows[dj], dc)
+                acc_x = acc_x + fs * Sx_ref[k][:, None, :]
+                acc_y = acc_y + fs * Sy_ref[k][:, None, :]
+            gx_ref[0] = acc_x * G_ref[0][:, None, :]
+            gy_ref[0] = acc_y * G_ref[1][:, None, :]
+
+        if len(runs) == 1:
+            apply_keys(runs[0][2])
+        else:
+            for start, end, key_ids in runs:
+                @pl.when((jt >= start) & (jt < end))
+                def _(key_ids=key_ids):
+                    apply_keys(key_ids)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("keys", "interpret"))
-def gradient_pallas(keys, Sx, Sy, G, ft, interpret=False):
+@partial(jax.jit, static_argnames=("runs", "keys", "interpret"))
+def gradient_pallas(runs, keys, Sx, Sy, G, ft, interpret=False):
     """ft: (lo, ny, LI, nxw); Sx/Sy: (nk, ny, nxw); G: (2, ny, nxw).
 
     Returns (gx, gy) each (lo, ny, LI, nxw). `keys` must be a tuple of (dj, dc)
     pairs aligned with the leading axis of Sx/Sy; key (0, 0) holds the self
-    term (sum of all S).
+    term (sum of all S). `runs` gives per-row-tile-range active key subsets
+    (see build_gradient_kernel); pass ((0, ny//TJ, range(nk)),) to apply all
+    keys everywhere.
     """
     lo, ny, li, nxw = ft.shape
     nk = Sx.shape[0]
@@ -100,7 +120,7 @@ def gradient_pallas(keys, Sx, Sy, G, ft, interpret=False):
         (1, TJ, li, nxw), lambda jt, lt: (lt, jt, 0, 0), memory_space=pltpu.VMEM
     )
 
-    kernel = build_gradient_kernel(keys, ny, nxw, nk)
+    kernel = build_gradient_kernel(runs, keys, ny, nxw, nk)
     gx, gy = pl.pallas_call(
         kernel,
         grid=grid,
@@ -147,10 +167,30 @@ class PallasGradient:
         self.G = jnp.asarray(G, dtype)
         self.ny, self.nxw = ny, nxw
 
+        # per-row-tile active key subsets, merged into contiguous runs: only
+        # ~60% of keys are nonzero in a given hemisphere on reduced grids, and
+        # the pole keys touch only the first/last tile — the kernel branches
+        # on the tile id and skips inactive FMAs
+        ny_t = self.ny_pad // TJ
+        act = np.zeros((nk, self.ny_pad), bool)
+        for i, (_, S) in enumerate(items):
+            act[i, :ny] = np.abs(S).sum(axis=(1, 2)) > 0
+        runs = []
+        for jt in range(ny_t):
+            ids = tuple(np.flatnonzero(act[:, jt * TJ:(jt + 1) * TJ].any(axis=1)))
+            if not ids:
+                ids = (0,)  # padded tiles: write zeros via the self term
+            if runs and runs[-1][2] == ids:
+                runs[-1] = (runs[-1][0], jt + 1, ids)
+            else:
+                runs.append((jt, jt + 1, ids))
+        self.runs = tuple(runs)
+
     def __call__(self, ft):
         """ft: (lo, ny_pad, LI, nxw_pad) tiled field (halo columns filled)."""
         interpret = jax.default_backend() not in ("tpu", "axon")
-        return gradient_pallas(self.keys, self.Sx, self.Sy, self.G, ft, interpret=interpret)
+        return gradient_pallas(self.runs, self.keys, self.Sx, self.Sy, self.G,
+                               ft, interpret=interpret)
 
     def tile(self, f):
         """(nlev, ny, nxw) -> padded tiled (lo, ny_pad, LI, nxw_pad)."""

@@ -89,7 +89,7 @@ def main():
         # FETCHING a scalar reduction, and difference against a 1-call chain to
         # remove the fixed fetch/dispatch overhead.
         def run(ft):
-            return gradient_pallas(pg.keys, pg.Sx, pg.Sy, pg.G, ft)[0]
+            return gradient_pallas(pg.runs, pg.keys, pg.Sx, pg.Sy, pg.G, ft)[0]
 
         sum_fn = jax.jit(jnp.sum)
         # rescale+clip between calls keeps the chain bounded (the polar-row
@@ -98,9 +98,14 @@ def main():
         renorm = jax.jit(lambda x: jnp.clip(x * jnp.asarray(6.4e6, dtype), -1.0, 1.0))
 
         def chain(n):
+            # renorm every 4th call: the polar-row metric amplifies ~30x per
+            # gradient, so 4 unrenormalized steps stay well inside f32 range
+            # while keeping the measured loop dominated by the kernel itself
             x = ft
-            for _ in range(n):
-                x = renorm(run(x))
+            for i in range(n):
+                x = run(x)
+                if i % 4 == 3 or i == n - 1:
+                    x = renorm(x)
             return float(sum_fn(x))
 
         chain(2)  # compile everything
@@ -117,44 +122,71 @@ def main():
             f"chain diff: {K} calls {t_K*1e3:.2f} ms vs 1 call {t_one*1e3:.2f} ms"
         )
     elif args.impl == "xla":
+        # block_until_ready does not reliably synchronize through the axon
+        # tunnel, so force materialization by FETCHING a scalar reduction and
+        # difference a K-iteration fori chain against a 1-iteration one.
         t = sf._device_tables(dtype)
         f3 = jax.random.normal(jax.random.key(0), (nlev, ny, nxw), dtype)
-        K = 10
+        K = max(args.niter, 20)
 
-        @jax.jit
-        def chain(t, f):
-            def body(_, f):
-                g = _grad_struct(t, f)
-                return g[0] * jnp.asarray(1e-3, dtype) + f * jnp.asarray(0.5, dtype)
+        def make_chain(k):
+            @jax.jit
+            def chain(t, f):
+                def body(_, f):
+                    g = _grad_struct(t, f)
+                    return g[0] * jnp.asarray(1e-3, dtype) + f * jnp.asarray(0.5, dtype)
 
-            return jax.lax.fori_loop(0, K, body, f)
+                return jnp.sum(jax.lax.fori_loop(0, k, body, f))
 
-        chain(t, f3).block_until_ready()
+            return chain
+
+        chain1, chainK = make_chain(1), make_chain(K)
+        float(chain1(t, f3))
+        float(chainK(t, f3))  # compile both
         t0 = time.perf_counter()
-        chain(t, f3).block_until_ready()
-        t_iter = (time.perf_counter() - t0) / K
-        timing_note = f"fori chain of {K}"
+        s1 = float(chain1(t, f3))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sK = float(chainK(t, f3))
+        t_K = time.perf_counter() - t0
+        assert np.isfinite(sK)
+        t_iter = max((t_K - t_one) / (K - 1), 1e-9)
+        timing_note = (
+            f"fori chain diff: {K} iters {t_K*1e3:.2f} ms vs 1 iter {t_one*1e3:.2f} ms"
+        )
     else:  # gather
         method = FvmMethod(grid, use_cache=True)
         from atlas_tpu.fvm.nabla import _JaxGeom, _gradient_impl
 
         geom = _JaxGeom(method.geometry, dtype)
         fg = jax.random.normal(jax.random.key(0), (method.geometry.nnodes, nlev), dtype)
-        K = 5
+        K = max(args.niter, 20)
 
-        @jax.jit
-        def chain(geom, f):
-            def body(_, f):
-                g = _gradient_impl(geom, f)
-                return g[..., 0] * jnp.asarray(1e-3, dtype)
+        def make_chain(k):
+            @jax.jit
+            def chain(geom, f):
+                def body(_, f):
+                    g = _gradient_impl(geom, f)
+                    return g[..., 0] * jnp.asarray(1e-3, dtype)
 
-            return jax.lax.fori_loop(0, K, body, f)
+                return jnp.sum(jax.lax.fori_loop(0, k, body, f))
 
-        chain(geom, fg).block_until_ready()
+            return chain
+
+        chain1, chainK = make_chain(1), make_chain(K)
+        float(chain1(geom, fg))
+        float(chainK(geom, fg))
         t0 = time.perf_counter()
-        chain(geom, fg).block_until_ready()
-        t_iter = (time.perf_counter() - t0) / K
-        timing_note = f"fori chain of {K}"
+        float(chain1(geom, fg))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sK = float(chainK(geom, fg))
+        t_K = time.perf_counter() - t0
+        assert np.isfinite(sK)
+        t_iter = max((t_K - t_one) / (K - 1), 1e-9)
+        timing_note = (
+            f"fori chain diff: {K} iters {t_K*1e3:.2f} ms vs 1 iter {t_one*1e3:.2f} ms"
+        )
 
     # minimum HBM traffic for the structured kernel: S tables once + field in
     # + two component outputs
