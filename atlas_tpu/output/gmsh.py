@@ -58,3 +58,69 @@ class GmshWriter:
 
 def write_gmsh(mesh, path: str, fields: dict | None = None, **opts):
     GmshWriter(path, **opts).write(mesh, fields)
+
+
+class GmshReader:
+    """Read a Gmsh 2.2 ASCII .msh file back into (coords, tris+quads, fields).
+
+    Reference parity: the reference's Gmsh output also reads meshes
+    (output/detail/GmshIO.cc GmshIO::read). Returns a dict with
+    'coords' (n, 3), 'cells' (ncell, 4) node indices (0-based, -1 pad for
+    triangles), and 'fields' {name: (n,) array}.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def read(self) -> dict:
+        coords = None
+        cells = []
+        fields = {}
+        with open(self.path) as f:
+            line = f.readline()
+            while line:
+                tag = line.strip()
+                if tag == "$Nodes":
+                    n = int(f.readline())
+                    coords = np.empty((n, 3))
+                    for _ in range(n):
+                        parts = f.readline().split()
+                        coords[int(parts[0]) - 1] = [float(v) for v in parts[1:4]]
+                elif tag == "$Elements":
+                    ne = int(f.readline())
+                    for _ in range(ne):
+                        parts = f.readline().split()
+                        etype = int(parts[1])
+                        ntags = int(parts[2])
+                        conn = [int(v) - 1 for v in parts[3 + ntags:]]
+                        if etype == 2:      # triangle
+                            cells.append(conn + [-1])
+                        elif etype == 3:    # quad
+                            cells.append(conn)
+                        # other element types (edges, points) are skipped
+                elif tag == "$NodeData":
+                    nstr = int(f.readline())
+                    name = f.readline().strip().strip('"')
+                    for _ in range(nstr - 1):
+                        f.readline()
+                    nreal = int(f.readline())
+                    for _ in range(nreal):
+                        f.readline()
+                    nint = int(f.readline())
+                    ints = [int(f.readline()) for _ in range(nint)]
+                    nvals = ints[-1]
+                    data = np.empty(nvals)
+                    for _ in range(nvals):
+                        parts = f.readline().split()
+                        data[int(parts[0]) - 1] = float(parts[1])
+                    fields[name] = data
+                line = f.readline()
+        return {
+            "coords": coords,
+            "cells": np.asarray(cells, dtype=np.int64).reshape(-1, 4),
+            "fields": fields,
+        }
+
+
+def read_gmsh(path: str) -> dict:
+    return GmshReader(path).read()

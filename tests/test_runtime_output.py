@@ -104,3 +104,22 @@ def test_library_information():
     assert "atlas_tpu" in info and "numpy" in info
     library.finalise()
     assert not library.initialised()
+
+
+def test_gmsh_roundtrip(tmp_path):
+    """write_gmsh -> read_gmsh preserves nodes, elements and node fields."""
+    import numpy as np
+    from atlas_tpu import Grid
+    from atlas_tpu.mesh import MeshGenerator
+    from atlas_tpu.output.gmsh import read_gmsh, write_gmsh
+
+    mesh = MeshGenerator("structured").generate(Grid("O8"))
+    f = np.arange(mesh.nodes.size, dtype=float)
+    path = tmp_path / "o8.msh"
+    write_gmsh(mesh, str(path), fields={"idx": f})
+    r = read_gmsh(str(path))
+    assert r["coords"].shape == (mesh.nodes.size, 3)
+    np.testing.assert_allclose(r["coords"][:, :2], mesh.nodes.lonlat, atol=1e-9)
+    keep = mesh.cells.halo == 0
+    np.testing.assert_array_equal(r["cells"], mesh.cells.nodes[keep])
+    np.testing.assert_allclose(r["fields"]["idx"], f, atol=0)
