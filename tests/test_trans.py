@@ -189,3 +189,46 @@ def test_vordiv_streamfunction_exactness():
         v_num = float(dlam / (R * np.cos(np.deg2rad(lat0))))
         v_vd = float(eval_spec(V, lon0, lat0) / np.cos(np.deg2rad(lat0)))
         assert abs(v_vd - v_num) < 1e-5 * max(abs(v_num), 1.0)
+
+
+def test_trans_facade_backends():
+    """Trans facade dispatches to local/distributed backends consistently."""
+    from atlas_tpu.trans import Trans, nspec2, spectral_index
+
+    grid = Grid("F24")
+    T = 23
+    rng = np.random.default_rng(0)
+    sp = rng.standard_normal(nspec2(T))
+    ms, _ = spectral_index(T)
+    sp[2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    t_local = Trans(grid, T, type="local", dtype=np.float64)
+    t_dist = Trans(grid, T, type="distributed", nparts=8, dtype=np.float64)
+    np.testing.assert_allclose(
+        np.asarray(t_local.invtrans(sp)), t_dist.invtrans(sp), atol=1e-11)
+    gp = np.asarray(t_local.invtrans(sp))
+    np.testing.assert_allclose(
+        np.asarray(t_local.dirtrans(gp)), t_dist.dirtrans(gp), atol=1e-11)
+
+
+def test_trans_invtrans_vordiv2wind_solid_body():
+    """Solid-body vorticity 2 Omega sin(lat) -> u = Omega R cos(lat), v = 0.
+
+    Mirrors the reference's vordiv2wind validation (TransLocal +
+    VorDivToUVLocal; src/tests/trans rotation tests).
+    """
+    from atlas_tpu.trans import Trans, nspec2
+    from atlas_tpu.util.constants import EARTH_RADIUS
+
+    grid = Grid("F24")
+    T = 23
+    omega = 7.292e-5
+    # zeta = 2 Omega sin(lat): the (m=0, n=1) normalized mode P^0_1 = sqrt(3) sinlat
+    zeta = np.zeros(nspec2(T))
+    zeta[2 * 1] = 2.0 * omega / np.sqrt(3.0)  # (m=0, n=1) real part
+    div = np.zeros_like(zeta)
+    tr = Trans(grid, T, type="local", dtype=np.float64)
+    u, v = tr.invtrans_vordiv2wind(zeta, div)
+    lat = grid.lonlat()[:, 1]
+    u_ref = omega * EARTH_RADIUS * np.cos(np.deg2rad(lat))
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-10, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-6)
