@@ -181,7 +181,9 @@ def _register():
 
     meshgenerator_factory.register("structured", StructuredMeshGenerator)
     meshgenerator_factory.register("regular", StructuredMeshGenerator)
-    meshgenerator_factory.register("healpix", StructuredMeshGenerator)
+    from .healpix import HealpixMeshGenerator
+
+    meshgenerator_factory.register("healpix", HealpixMeshGenerator)
     meshgenerator_factory.register("delaunay", DelaunayMeshGenerator)
     meshgenerator_factory.register("cubedsphere", CubedSphereMeshGenerator)
     meshgenerator_factory.register("nodal-cubedsphere", CubedSphereMeshGenerator)

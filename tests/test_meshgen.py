@@ -112,3 +112,28 @@ def test_cubedsphere_bilinear():
     np.testing.assert_allclose(
         np.asarray(interp.execute(np.ones(grid.size))), 1.0, atol=1e-12
     )
+
+
+def test_healpix_mesh_generator():
+    """Dedicated HEALPix diamond mesh (reference HealpixMeshGenerator.cc):
+    12 N^2 + 8 all-quad cells, 8 pole nodes per pole, exact sphere tiling."""
+    from atlas_tpu.util.geometry import lonlat_to_xyz
+    from atlas_tpu.util.spherical_polygon import polygon_area
+
+    for n in (2, 8):
+        g = Grid(f"H{n}")
+        m = MeshGenerator("healpix").generate(g)
+        assert m.cells.size == 12 * n * n + 8
+        assert (m.cells.nodes >= 0).all()  # all quads
+        cn = m.cells.nodes.astype(np.int64)
+        xyz = lonlat_to_xyz(m.nodes.lonlat)
+        areas = polygon_area(xyz[cn], np.full(len(cn), 4))
+        # diamonds are strictly positive; the 8 pole-cap quads are degenerate
+        # in 3-D (unfolded-plane cells, as in the reference's 2-D mode)
+        assert (areas[: g.size] > 0).all()
+        np.testing.assert_allclose(areas.sum(), 4 * np.pi, rtol=1e-12)
+        # pole nodes flagged BC, east ghosts periodic
+        from atlas_tpu.util.topology import Topology
+
+        assert (m.nodes.flags[:9] & Topology.BC).all()
+        assert m.nodes.ghost.sum() == g.ny + 2
