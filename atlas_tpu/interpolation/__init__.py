@@ -1,4 +1,4 @@
-from .interpolation import Interpolation, interpolation_factory
+from .interpolation import Interpolation, MatrixCache, interpolation_factory
 from .structured import StructuredInterpolation2D
 from .structured3d import StructuredInterpolation3D
 from .nonlinear import execute_nonlinear
@@ -19,6 +19,7 @@ def assemble_global_matrix(method):
 
 __all__ = [
     "Interpolation",
+    "MatrixCache",
     "interpolation_factory",
     "StructuredInterpolation2D",
     "StructuredInterpolation3D",

@@ -66,7 +66,83 @@ def _apply_adjoint(idx, w, field, nsrc):
     return jax.ops.segment_sum(flat, idx.reshape(-1), num_segments=nsrc)
 
 
-def Interpolation(config, source, target):
+class MatrixCache:
+    """Reuse interpolation weights across Interpolation instances.
+
+    Reference: interpolation/Cache.h:48-146 — a MatrixCache created from one
+    Interpolation can seed another with the same (method, source, target), and
+    matrices can be stored on / loaded from disk. Here the cached product is
+    the padded (idx, w) pair keyed by (method, source uid, target uid).
+    """
+
+    def __init__(self, interpolation=None):
+        self._store: dict = {}
+        if interpolation is not None and hasattr(interpolation, "_cache_key"):
+            self.add(interpolation._cache_key, interpolation)
+
+    def add(self, key, method_obj):
+        self._store[key] = (
+            np.asarray(method_obj.idx),
+            np.asarray(method_obj.w),
+            int(method_obj.nsrc),
+        )
+
+    def get(self, key):
+        return self._store.get(key)
+
+    def __contains__(self, key):
+        return key in self._store
+
+    # ------------------------------------------------------------- disk IO
+    def save(self, key, path: str):
+        idx, w, nsrc = self._store[key]
+        np.savez_compressed(path + ".tmp.npz", idx=idx, w=w,
+                            nsrc=np.int64(nsrc))
+        import os
+
+        os.replace(path + ".tmp.npz", path)
+
+    @staticmethod
+    def load(key, path: str) -> "MatrixCache":
+        c = MatrixCache()
+        with np.load(path) as z:
+            c._store[key] = (z["idx"], z["w"], int(z["nsrc"]))
+        return c
+
+
+class _CachedMethod(Method):
+    """A Method rebuilt from cached (idx, w, nsrc)."""
+
+    def __init__(self, idx, w, nsrc):
+        self.idx = idx
+        self.w = w
+        self.nsrc = nsrc
+
+
+def _cache_key(method: str, source, target):
+    def uid(x):
+        u = getattr(x, "uid", None)
+        return u() if callable(u) else repr(x)
+
+    return (method, uid(source), uid(target))
+
+
+def Interpolation(config, source, target, cache: "MatrixCache | None" = None):
+    """Build an interpolation method; optionally seed from a MatrixCache.
+
+    With `cache` given and a hit on (type, source uid, target uid), setup is
+    skipped entirely and the cached weights are wrapped (reference
+    Interpolation(config, fsA, fsB, cache) constructor).
+    """
     config = Config(config) if not isinstance(config, str) else Config(type=config)
     method = config.get_str("type")
-    return interpolation_factory.build(method, config, source, target)
+    key = _cache_key(method, source, target)
+    if cache is not None and key in cache:
+        m = _CachedMethod(*cache.get(key))
+        m._cache_key = key
+        return m
+    m = interpolation_factory.build(method, config, source, target)
+    m._cache_key = key
+    if cache is not None:
+        cache.add(key, m)
+    return m

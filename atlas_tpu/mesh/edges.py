@@ -27,16 +27,17 @@ _FACETS_TRI = np.array([[0, 1], [1, 2], [2, 0]])
 def build_edges(mesh: Mesh, grid=None) -> Mesh:
     cn = mesh.cells.nodes
     ncells = len(cn)
-    is_quad = cn[:, 3] >= 0
+    npc = (cn >= 0).sum(axis=1)
     corner_x = mesh.fields.get("cell_corner_x")
     corner_y = mesh.fields.get("cell_corner_y")
 
-    # facet lists (cell id, local corner a, local corner b)
+    # facet lists (cell id, local corner a, local corner b), per vertex count
     facet_cell = []
     facet_a = []
     facet_b = []
-    for mask, facets in ((is_quad, _FACETS_QUAD), (~is_quad, _FACETS_TRI)):
-        ids = np.flatnonzero(mask)
+    for c in np.unique(npc):
+        facets = np.array([[i, (i + 1) % c] for i in range(c)])
+        ids = np.flatnonzero(npc == c)
         if len(ids) == 0:
             continue
         k = len(facets)

@@ -51,7 +51,9 @@ class Cells:
 
     @property
     def nodes_per_cell(self) -> np.ndarray:
-        return np.where(self.nodes[:, 3] >= 0, 4, 3)
+        # cells are (ncell, maxnodes) with -1 padding: triangles, quads, and
+        # pentagons (healpix pole_elements="pentagons") share one table
+        return (self.nodes >= 0).sum(axis=1).astype(np.int64)
 
 
 @dataclass

@@ -40,12 +40,20 @@ class GmshWriter:
                 f.write(f"{i+1} {coords[i,0]:.10g} {coords[i,1]:.10g} {coords[i,2]:.10g}\n")
             f.write("$EndNodes\n")
             cn = cells.nodes[keep_cells]
-            f.write(f"$Elements\n{len(cn)}\n")
-            for e, row in enumerate(cn):
-                if row[3] >= 0:
-                    f.write(f"{e+1} 3 2 1 1 {row[0]+1} {row[1]+1} {row[2]+1} {row[3]+1}\n")
-                else:
-                    f.write(f"{e+1} 2 2 1 1 {row[0]+1} {row[1]+1} {row[2]+1}\n")
+            lines = []
+            for row in cn:
+                nv = int((row >= 0).sum())
+                if nv == 4:
+                    lines.append(f"3 2 1 1 {row[0]+1} {row[1]+1} {row[2]+1} {row[3]+1}")
+                elif nv == 3:
+                    lines.append(f"2 2 1 1 {row[0]+1} {row[1]+1} {row[2]+1}")
+                else:  # pentagons and beyond: fan-triangulate (gmsh 2.2 has
+                    # no flat polygon element above the quad)
+                    for k in range(1, nv - 1):
+                        lines.append(f"2 2 1 1 {row[0]+1} {row[k]+1} {row[k+1]+1}")
+            f.write(f"$Elements\n{len(lines)}\n")
+            for e, body in enumerate(lines):
+                f.write(f"{e+1} {body}\n")
             f.write("$EndElements\n")
             for name, data in (fields or {}).items():
                 data = np.asarray(data)

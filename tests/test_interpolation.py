@@ -128,3 +128,29 @@ def test_grid_box_average_conserves_mean():
     m_src = np.average(f, weights=area_w(src_grid))
     m_tgt = np.average(out, weights=area_w(tgt_grid))
     assert abs(m_src - m_tgt) < 2e-3
+
+
+def test_matrix_cache_reuse_and_disk(tmp_path):
+    """MatrixCache skips setup on hit and round-trips through disk
+    (reference interpolation/Cache.h:48-146)."""
+    from atlas_tpu.interpolation import Interpolation, MatrixCache
+
+    src = Grid("O16")
+    tgt = Grid("S36x18")
+    cache = MatrixCache()
+    i1 = Interpolation("k-nearest-neighbours", src, tgt, cache=cache)
+    assert i1._cache_key in cache
+    i2 = Interpolation("k-nearest-neighbours", src, tgt, cache=cache)
+    np.testing.assert_array_equal(np.asarray(i1.idx), np.asarray(i2.idx))
+    np.testing.assert_array_equal(np.asarray(i1.w), np.asarray(i2.w))
+
+    f = np.sin(np.deg2rad(src.lonlat()[:, 0]))
+    np.testing.assert_allclose(
+        np.asarray(i2.execute(f)), np.asarray(i1.execute(f)), atol=0)
+
+    path = str(tmp_path / "knn.npz")
+    cache.save(i1._cache_key, path)
+    c2 = MatrixCache.load(i1._cache_key, path)
+    i3 = Interpolation("k-nearest-neighbours", src, tgt, cache=c2)
+    np.testing.assert_allclose(
+        np.asarray(i3.execute(f)), np.asarray(i1.execute(f)), atol=0)

@@ -137,3 +137,26 @@ def test_healpix_mesh_generator():
 
         assert (m.nodes.flags[:9] & Topology.BC).all()
         assert m.nodes.ghost.sum() == g.ny + 2
+
+
+def test_healpix_pentagons_mode():
+    """pole_elements="pentagons": 4 pole nodes, 8 pentagon cells, 12 N^2 total."""
+    from atlas_tpu.util.geometry import lonlat_to_xyz
+    from atlas_tpu.util.spherical_polygon import polygon_area
+
+    g = Grid("H4")
+    m = MeshGenerator("healpix", pole_elements="pentagons").generate(g)
+    assert m.cells.size == 12 * 16
+    npc = m.cells.nodes_per_cell
+    assert (npc == 5).sum() == 8 and set(npc) == {4, 5}
+    cn = m.cells.nodes.astype(np.int64)
+    xyz = lonlat_to_xyz(m.nodes.lonlat)
+    verts = np.where(cn[..., None] >= 0, xyz[np.maximum(cn, 0)], 0.0)
+    areas = polygon_area(verts, npc)
+    assert (areas > 0).all()
+    np.testing.assert_allclose(areas.sum(), 4 * np.pi, rtol=1e-12)
+    # edges builder handles pentagons
+    from atlas_tpu.mesh.edges import build_edges
+
+    build_edges(m)
+    assert m.edges is not None and m.edges.size > 0
