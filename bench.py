@@ -32,17 +32,206 @@ import time
 import numpy as np
 
 
+def _emit(metric, value, unit, vs_baseline, detail):
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+        "detail": detail,
+    }))
+
+
+def _fori_pair(make_chain, *operands):
+    """Time one iteration via K-vs-1 fori chains with a scalar fetch.
+
+    block_until_ready does not synchronize through the device tunnel, so both
+    chains end in a jnp.sum fetched to host; the difference removes dispatch
+    and fetch overhead.
+    """
+    chain1, chainK, K = make_chain()
+    float(chain1(*operands))
+    float(chainK(*operands))  # compile both
+    t0 = time.perf_counter()
+    float(chain1(*operands))
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sK = float(chainK(*operands))
+    t_K = time.perf_counter() - t0
+    assert np.isfinite(sK), "benchmark chain produced non-finite values"
+    t_iter = max((t_K - t_one) / (K - 1), 1e-9)
+    note = f"fori chain diff: {K} iters {t_K*1e3:.2f} ms vs 1 iter {t_one*1e3:.2f} ms"
+    return t_iter, note
+
+
+def bench_bicubic(args):
+    """BASELINE config 2: structured bicubic O320 -> regular 0.25 deg."""
+    import jax
+    import jax.numpy as jnp
+
+    from atlas_tpu import Grid
+    from atlas_tpu.interpolation import Interpolation
+
+    dtype = jnp.dtype(args.dtype)
+    src = Grid(args.grid)
+    tgt = Grid("L1440x721") if not args.quick else Grid("L360x181")
+    t0 = time.time()
+    interp = Interpolation("structured-bicubic", src, tgt)
+    setup_s = time.time() - t0
+    nlev = args.nlev
+    idx = jnp.asarray(interp.idx)
+    w = jnp.asarray(interp.w, dtype)
+    f = jax.random.normal(jax.random.key(0), (src.size, nlev), dtype)
+    K = max(args.niter, 20)
+
+    def make_chain():
+        def make(k):
+            @jax.jit
+            def chain(idx, w, f):
+                def body(_, f):
+                    out = (f[idx] * w[..., None]).sum(axis=1)
+                    return f + out.mean() * jnp.asarray(1e-30, dtype)
+
+                return jnp.sum(jax.lax.fori_loop(0, k, body, f))
+
+            return chain
+
+        return make(1), make(K), K
+
+    t_iter, note = _fori_pair(make_chain, idx, w, f)
+    ntgt, kst = interp.idx.shape
+    traffic = (src.size + 2 * ntgt * kst + ntgt) * nlev * dtype.itemsize
+    _emit(
+        f"bicubic_{args.grid}_to_{tgt.name}_nlev{nlev}_targetpoints_per_s",
+        ntgt * nlev / t_iter, "targetpoints/s",
+        (traffic / t_iter) / 819e9,
+        {"metric_kind": "bicubic", "src": args.grid, "tgt": tgt.name,
+         "ntgt": int(ntgt), "nlev": nlev, "iter_time_s": t_iter,
+         "setup_s": setup_s, "timing_note": note, "dtype": str(dtype),
+         "note": "vs_baseline = gather+fma traffic / 819 GB/s v5e HBM peak"},
+    )
+
+
+def bench_trans(args):
+    """BASELINE config 3: TransLocal inverse transform T159 -> F80."""
+    import jax
+    import jax.numpy as jnp
+
+    from atlas_tpu import Grid
+    from atlas_tpu.trans import TransLocal, nspec2, spectral_index
+
+    dtype = jnp.dtype(args.dtype)
+    T, gname = (159, "F80") if not args.quick else (42, "F24")
+    grid = Grid(gname)
+    t0 = time.time()
+    tr = TransLocal(grid, T, dtype=dtype)
+    setup_s = time.time() - t0
+    nf = args.nlev
+    rng = np.random.default_rng(0)
+    sp = rng.standard_normal((nf, nspec2(T))).astype(args.dtype)
+    ms, _ = spectral_index(T)
+    sp[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    sp = jnp.asarray(sp)
+    K = max(args.niter, 20)
+
+    def make_chain():
+        def make(k):
+            @jax.jit
+            def chain(sp):
+                def body(_, sp):
+                    gp = tr.invtrans(sp)
+                    return sp + gp.mean() * jnp.asarray(1e-30, dtype)
+
+                return jnp.sum(jax.lax.fori_loop(0, k, body, sp))
+
+            return chain
+
+        return make(1), make(K), K
+
+    t_iter, note = _fori_pair(make_chain, sp)
+    # Legendre MACs: sym+asym einsums over (m, lat_half, n) x (nf, m, n, 2)
+    half = (grid.ny + 1) // 2
+    flops = 2 * 2 * 2 * nf * (T + 1) * half * (T + 1)
+    _emit(
+        f"translocal_T{T}_to_{gname}_nf{nf}_gridpoints_per_s",
+        grid.size * nf / t_iter, "gridpoints/s",
+        (flops / t_iter) / 197e12,
+        {"metric_kind": "trans", "truncation": T, "grid": gname, "nf": nf,
+         "iter_time_s": t_iter, "setup_s": setup_s, "timing_note": note,
+         "legendre_GFLOP": flops / 1e9, "dtype": str(dtype),
+         "note": "vs_baseline = Legendre-stage FLOPs / 197 TFLOP/s v5e bf16 MXU peak"},
+    )
+
+
+def bench_swe(args):
+    """BASELINE config 4 (single chip): shallow-water RK3 step throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from atlas_tpu import Grid
+    from atlas_tpu.model import ShallowWaterModel
+
+    dtype = jnp.dtype(args.dtype)
+    grid = Grid(args.grid if args.grid != "O320" else "O640")
+    if args.quick:
+        grid = Grid("O32")
+    t0 = time.time()
+    model = ShallowWaterModel(grid, dtype=dtype, use_cache=True)
+    setup_s = time.time() - t0
+    state = model.initial_state_williamson2()
+    dt = jnp.asarray(model.suggested_dt(), dtype)
+    tables = model._tbl()
+    from atlas_tpu.model.shallow_water import _swe_rk3
+
+    K = max(args.niter, 10)
+
+    def make_chain():
+        def make(k):
+            @jax.jit
+            def chain(state):
+                def body(_, s):
+                    return _swe_rk3(tables, s, dt)
+
+                out = jax.lax.fori_loop(0, k, body, state)
+                return jnp.sum(out["h"])
+
+            return chain
+
+        return make(1), make(K), K
+
+    t_iter, note = _fori_pair(make_chain, state)
+    _emit(
+        f"swe_rk3_{grid.name}_gridpoints_per_s",
+        grid.size / t_iter, "gridpoints/s", 0.0,
+        {"metric_kind": "swe", "grid": grid.name, "iter_time_s": t_iter,
+         "setup_s": setup_s, "timing_note": note, "dt_s": float(dt),
+         "dtype": str(dtype),
+         "note": "full vector-invariant SWE SSP-RK3 step (3 stages) per iteration"},
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", default="O320")
     ap.add_argument("--nlev", type=int, default=64)
     ap.add_argument("--niter", type=int, default=20)
     ap.add_argument("--impl", default="pallas", choices=["pallas", "xla", "gather"])
+    ap.add_argument("--metric", default="gradient",
+                    choices=["gradient", "bicubic", "trans", "swe"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
     if args.quick:
         args.grid, args.nlev, args.niter = "O32", 8, 5
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/atlas_tpu/jaxcache")
+    if args.metric != "gradient":
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        {"bicubic": bench_bicubic, "trans": bench_trans, "swe": bench_swe}[args.metric](args)
+        return
 
     import jax
     import jax.numpy as jnp

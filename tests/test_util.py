@@ -99,3 +99,18 @@ def test_mercator_roundtrip():
     assert isinstance(p, MercatorProjection)
     ll = np.array([[15.0, 30.0], [5.0, -45.0]])
     np.testing.assert_allclose(p.xy2lonlat(p.lonlat2xy(ll)), ll, atol=1e-9)
+
+
+def test_option_helpers_compose():
+    """option::levels | option::halo style composition (option/Options.h)."""
+    from atlas_tpu.util import options
+
+    c = options.levels(10) | options.halo(2) | options.datatype("float64")
+    assert c["levels"] == 10 and c["halo"] == 2 and c["datatype"] == "float64"
+    assert options.vector()["variables"] == 2
+    assert options.global_(3)["global"] and options.global_(3)["owner"] == 3
+    import numpy as np
+
+    from atlas_tpu.util.constants import EARTH_RADIUS
+
+    np.testing.assert_allclose(options.radius("Earth")["radius"], EARTH_RADIUS)
