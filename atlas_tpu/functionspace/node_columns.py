@@ -75,10 +75,7 @@ class NodeColumns:
         sorted order of the values (reference uses a deterministic gather)."""
         v = self._owned_values(data)
         flat = v.reshape(len(v), -1)
-        out = np.empty(flat.shape[1])
-        for c in range(flat.shape[1]):
-            col = np.sort(flat[:, c])
-            out[c] = col.sum()
+        out = np.sort(flat, axis=0).sum(axis=0)
         return out.reshape(v.shape[1:]) if v.ndim > 1 else float(out[0]), len(v)
 
     def minimum(self, data):

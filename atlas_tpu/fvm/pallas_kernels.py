@@ -40,36 +40,79 @@ def _cshift(a, dc):
     return jnp.pad(a, pad)[..., :nxw]
 
 
-def build_gradient_kernel(runs, keys, ny, nxw, nk):
+def build_gradient_kernel(runs, keys, ny_pad, nxw, nk):
     """runs: ((jt_start, jt_end, key_ids), ...) — contiguous row-tile ranges
     with their ACTIVE stencil keys; keys: (dj, dc) aligned with the stacked S
     arrays. Reduced grids activate only ~60% of the global key set per
     hemisphere (hemisphere row-alignment flips the dc sign range, pole keys
     touch only the first/last tile), so branching per tile range cuts the
-    VPU FMA count accordingly — this kernel is FLOP-bound, not HBM-bound.
+    VPU FMA count accordingly.
+
+    The field tile arrives once via the pipelined BlockSpec (traffic 1x); the
+    two row-neighbour boundary rows are fetched with explicit small DMAs from
+    the un-blocked HBM alias of the same array (traffic 2/TJ), so total field
+    traffic is 1 + 2/TJ instead of the 3x of full neighbour tiles. The DMAs
+    are double-buffered one grid step ahead (issue step i+1's rows while
+    computing step i) so their latency is fully hidden.
     """
 
-    def kernel(Sx_ref, Sy_ref, G_ref, fprev_ref, f_ref, fnext_ref, gx_ref, gy_ref):
-        # NOTE: fprev/fnext are full neighbour TILES (3x field fetch); single-
-        # row neighbour blocks (1, 1, LI, nxw) would cut traffic to 1 + 2/TJ
-        # but mixed block shapes hang this platform's remote Mosaic compiler.
+    def kernel(Sx_ref, Sy_ref, G_ref, f_ref, fany_ref, gx_ref, gy_ref, halo, sem):
         jt = pl.program_id(0)
-        f = f_ref[0]  # (TJ, LI, nxw)
-        fp = fprev_ref[0]
-        fn = fnext_ref[0]
+        lt = pl.program_id(1)
+        lo = pl.num_programs(1)
+        step = jt * lo + lt
+        nsteps = pl.num_programs(0) * lo
 
-        rows = {
-            0: f,
-            1: jnp.concatenate([f[1:], fn[:1]], axis=0),
-            -1: jnp.concatenate([fp[-1:], f[:-1]], axis=0),
-        }
+        def dmas(s, slot):
+            # boundary rows j*TJ-1 and j*TJ+TJ for step s, clamped at the
+            # poles (weights for out-of-range dj are zero there, so the
+            # clamped garbage is masked out)
+            jt_s = s // lo
+            lt_s = s % lo
+            prev = jnp.maximum(jt_s * TJ - 1, 0)
+            nxt = jnp.minimum(jt_s * TJ + TJ, ny_pad - 1)
+            return (
+                pltpu.make_async_copy(
+                    fany_ref.at[lt_s, prev], halo.at[slot, 0], sem.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    fany_ref.at[lt_s, nxt], halo.at[slot, 1], sem.at[slot, 1]
+                ),
+            )
+
+        two = jnp.int32(2)
+        slot = jax.lax.rem(step, two)
+
+        @pl.when(step == 0)
+        def _():
+            for d in dmas(step, slot):
+                d.start()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            for d in dmas(step + 1, jax.lax.rem(step + 1, two)):
+                d.start()
+
+        for d in dmas(step, slot):
+            d.wait()
+
+        f = f_ref[0]  # (TJ, LI, nxw)
+        hp = halo[slot, 0][None]
+        hn = halo[slot, 1][None]
+
+        def rows_of(dj):
+            if dj == 0:
+                return f
+            if dj == 1:
+                return jnp.concatenate([f[1:], hn], axis=0)
+            return jnp.concatenate([hp, f[:-1]], axis=0)
 
         def apply_keys(key_ids):
             acc_x = jnp.zeros_like(f)
             acc_y = jnp.zeros_like(f)
             for k in key_ids:
                 dj, dc = keys[k]
-                fs = _cshift(rows[dj], dc)
+                fs = _cshift(rows_of(dj), dc)
                 acc_x = acc_x + fs * Sx_ref[k][:, None, :]
                 acc_y = acc_y + fs * Sy_ref[k][:, None, :]
             gx_ref[0] = acc_x * G_ref[0][:, None, :]
@@ -103,13 +146,10 @@ def gradient_pallas(runs, keys, Sx, Sy, G, ft, interpret=False):
 
     grid = (ny_t, lo)
 
-    def f_spec(row_offset=0):
-        def index_map(jt, lt):
-            j = jnp.clip(jt + row_offset, 0, ny_t - 1)
-            return (lt, j, 0, 0)
-
-        return pl.BlockSpec((1, TJ, li, nxw), index_map, memory_space=pltpu.VMEM)
-
+    f_spec = pl.BlockSpec(
+        (1, TJ, li, nxw), lambda jt, lt: (lt, jt, 0, 0), memory_space=pltpu.VMEM
+    )
+    f_any = pl.BlockSpec(memory_space=pl.ANY)
     S_spec = pl.BlockSpec(
         (nk, TJ, nxw), lambda jt, lt: (0, jt, 0), memory_space=pltpu.VMEM
     )
@@ -124,14 +164,18 @@ def gradient_pallas(runs, keys, Sx, Sy, G, ft, interpret=False):
     gx, gy = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[S_spec, S_spec, G_spec, f_spec(-1), f_spec(0), f_spec(1)],
+        in_specs=[S_spec, S_spec, G_spec, f_spec, f_any],
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct(ft.shape, ft.dtype),
             jax.ShapeDtypeStruct(ft.shape, ft.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, li, nxw), ft.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         interpret=interpret,
-    )(Sx, Sy, G, ft, ft, ft)
+    )(Sx, Sy, G, ft, ft)
     return gx, gy
 
 

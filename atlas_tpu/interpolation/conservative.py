@@ -61,40 +61,70 @@ def _latlon_box_cells(grid):
         nx = int(grid.nx[j])
         return grid.xmin[j] + (np.arange(nx + 1) - 0.5) * grid.dx[j]
 
-    all_polys = []
-    counts = []
+    # Per-row vectorized assembly (VERDICT r1: the per-cell double Python loop
+    # was O(npts) interpreter time — hopeless at O1280's 6.6M cells).
+    row_polys = []   # per row: (nx, cap_j, 2) lonlat verts
+    row_counts = []  # per row: (nx,)
+
+    def interior_points(breaks, w0, dx, nx):
+        """Neighbour-row breakpoints strictly inside each cell of this row.
+
+        Returns (cell (m,), x (m,)) sorted by (cell, x)."""
+        if breaks is None:
+            return np.empty(0, np.int64), np.empty(0)
+        b = np.concatenate([breaks - 360.0, breaks, breaks + 360.0])
+        t = (b - w0) / dx  # cell-relative coordinate
+        cell = np.floor(t).astype(np.int64)
+        frac = t - cell
+        eps = 1e-9 / dx
+        sel = (cell >= 0) & (cell < nx) & (frac > eps) & (frac < 1 - eps)
+        cell, x = cell[sel], b[sel]
+        o = np.lexsort((x, cell))
+        return cell[o], x[o]
+
     for j in range(ny):
         nx = int(grid.nx[j])
         bw = row_breaks(j)  # nx+1 box edges
         lat_n, lat_s = edges[j], edges[j + 1]
-        nbrk_n = row_breaks(j - 1) if j > 0 else None
-        nbrk_s = row_breaks(j + 1) if j < ny - 1 else None
-        for i in range(nx):
-            w, e = bw[i], bw[i + 1]
+        dx = float(grid.dx[j])
+        w0 = bw[0]
+        sc, sx = interior_points(row_breaks(j + 1) if j < ny - 1 else None, w0, dx, nx)
+        ncl, nx_pts = interior_points(row_breaks(j - 1) if j > 0 else None, w0, dx, nx)
+        s_cnt = np.bincount(sc, minlength=nx)
+        n_cnt = np.bincount(ncl, minlength=nx)
+        counts_j = 4 + s_cnt + n_cnt
+        cap_j = int(counts_j.max())
+        poly = np.zeros((nx, cap_j, 2))
+        # vertex order per cell i: (w,S), south pts asc, (e,S), (e,N),
+        # north pts desc, (w,N)
+        poly[:, 0] = np.stack([bw[:-1], np.full(nx, lat_s)], axis=1)
+        col = np.arange(len(sc)) - np.concatenate([[0], np.cumsum(s_cnt)])[:-1][sc]
+        poly[sc, 1 + col, 0] = sx
+        poly[sc, 1 + col, 1] = lat_s
+        e_pos = 1 + s_cnt
+        poly[np.arange(nx), e_pos, 0] = bw[1:]
+        poly[np.arange(nx), e_pos, 1] = lat_s
+        poly[np.arange(nx), e_pos + 1, 0] = bw[1:]
+        poly[np.arange(nx), e_pos + 1, 1] = lat_n
+        # north points in descending x: reverse within each cell
+        coln = np.arange(len(ncl)) - np.concatenate([[0], np.cumsum(n_cnt)])[:-1][ncl]
+        coln = n_cnt[ncl] - 1 - coln
+        poly[ncl, e_pos[ncl] + 2 + coln, 0] = nx_pts
+        poly[ncl, e_pos[ncl] + 2 + coln, 1] = lat_n
+        last = counts_j - 1
+        poly[np.arange(nx), last, 0] = bw[:-1]
+        poly[np.arange(nx), last, 1] = lat_n
+        row_polys.append(poly)
+        row_counts.append(counts_j)
 
-            def between(breaks):
-                if breaks is None:
-                    return np.empty(0)
-                b = np.concatenate([breaks - 360.0, breaks, breaks + 360.0])
-                return np.sort(b[(b > w + 1e-9) & (b < e - 1e-9)])
-
-            sb = between(nbrk_s)
-            nb = between(nbrk_n)
-            pts = (
-                [(w, lat_s)]
-                + [(x, lat_s) for x in sb]
-                + [(e, lat_s), (e, lat_n)]
-                + [(x, lat_n) for x in nb[::-1]]
-                + [(w, lat_n)]
-            )
-            all_polys.append(pts)
-            counts.append(len(pts))
-
-    counts = np.asarray(counts, dtype=np.int64)
+    counts = np.concatenate(row_counts).astype(np.int64)
     cap = int(counts.max())
-    verts_ll = np.zeros((len(all_polys), cap, 2))
-    for k, pts in enumerate(all_polys):
-        verts_ll[k, : len(pts)] = pts
+    ncell = int(counts.size)
+    verts_ll = np.zeros((ncell, cap, 2))
+    k = 0
+    for poly in row_polys:
+        verts_ll[k : k + len(poly), : poly.shape[1]] = poly
+        k += len(poly)
     verts = lonlat_to_xyz(verts_ll)
     centers = lonlat_to_xyz(grid.lonlat())
     return verts, counts, centers
@@ -139,17 +169,14 @@ def _star_triangulate(verts, counts, centers):
     oriented convex triangles covering the cell exactly. Returns
     (tris (ntri, 3, 3), owner (ntri,)).
     """
-    tris = []
-    owners = []
-    for k in range(len(verts)):
-        n = int(counts[k])
-        c = centers[k] / np.linalg.norm(centers[k])
-        for e in range(n):
-            a = verts[k, e]
-            b = verts[k, (e + 1) % n]
-            tris.append((c, a, b))
-            owners.append(k)
-    return np.asarray(tris), np.asarray(owners, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    owners = np.repeat(np.arange(len(verts), dtype=np.int64), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    e = np.arange(counts.sum(), dtype=np.int64) - starts[owners]
+    e_next = np.where(e + 1 < counts[owners], e + 1, 0)
+    c = centers / np.linalg.norm(centers, axis=-1, keepdims=True)
+    tris = np.stack([c[owners], verts[owners, e], verts[owners, e_next]], axis=1)
+    return tris, owners
 
 
 def _source_gradient_operator(centers, k=12):
@@ -207,14 +234,10 @@ class ConservativeSphericalPolygon(Method):
         t_diam = np.linalg.norm(t_tris - t_cent[:, None], axis=-1).max(axis=1)
 
         tree = cKDTree(s_cent)
-        groups = tree.query_ball_point(t_cent, r=t_diam + s_diam.max())
-        pairs_t = []
-        pairs_s = []
-        for ti, g in enumerate(groups):
-            pairs_t.append(np.full(len(g), ti))
-            pairs_s.append(np.asarray(g, dtype=np.int64))
-        pt_tri = np.concatenate(pairs_t)
-        ps_tri = np.concatenate(pairs_s)
+        groups = tree.query_ball_point(t_cent, r=t_diam + s_diam.max(), workers=-1)
+        glen = np.fromiter((len(g) for g in groups), dtype=np.int64, count=len(groups))
+        pt_tri = np.repeat(np.arange(len(groups), dtype=np.int64), glen)
+        ps_tri = np.concatenate([np.asarray(g, dtype=np.int64) for g in groups if g])
 
         # clip all candidate triangle pairs in native code (csp.cc): areas +
         # centroids of the overlaps in one pass
