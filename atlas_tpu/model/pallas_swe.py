@@ -1,0 +1,335 @@
+"""Fused shallow-water RK3 stage as one Pallas TPU kernel.
+
+The XLA path (_swe_tendencies) runs three shift-operator sweeps per stage
+(curl, divergence, energy gradient), each materializing ~14 shifted copies of
+its operands — ~22 full-array passes per stage. This kernel streams each row
+tile through VMEM once and computes ALL tendencies plus the RK axpy combine
+in-register:
+
+    out = ca * prev + cb * (s + dt * tend(s))       per stage
+
+Layout: SWE state has nlev == 1, so the level-tiled (lo, ny, LI, nxw) layout
+of the gradient kernel would waste 8x sublanes. Fields here are plain
+(ny_pad, nxw_pad) with ROWS in the sublane dimension, tiled TJS rows per grid
+step; the two boundary rows arrive via double-buffered async DMA from the
+un-blocked HBM alias (traffic 2/TJS extra).
+
+Weight tables dominate the traffic at nlev=1 (~14 active stencil keys x 2
+components per point vs 3 field reads), so the S tables are PACKED per run:
+slot a of the packed (amax, ny, nxw) array holds, for every row-tile range
+("run") with a common active-key set, that run's a-th active key. Inactive
+keys are never fetched. The slot -> (dj, dc, is_pole) map is static per run,
+so every lane shift stays a static `pltpu.roll`.
+
+Physics identical to shallow_water.py / fvm Nabla (numerics/fvm/Nabla.cc:
+96-558): pole-edge keys contribute to the energy gradient only (pbc = 0 for
+div/curl), curl multiplies u by cos(lat) at each edge endpoint, divergence
+multiplies v by cos(lat) at each endpoint (metric_approach 0).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..util.constants import DEG2RAD
+from .shallow_water import GRAVITY
+
+TJS = 16  # rows per tile (sublane dim)
+
+
+def _roll(a, dc):
+    """Static lane shift via circular roll; wrapped lanes are killed by the
+    zero weights (S == 0 wherever the shifted source is out of range)."""
+    if dc == 0:
+        return a
+    return pltpu.roll(a, -dc % a.shape[-1], axis=a.ndim - 1)
+
+
+def build_swe_stage_kernel(runs, ny_pad, nxw, amax):
+    """runs: tuple of (jt_start, jt_end, keys) where keys is a tuple of
+    (dj, dc, is_pole) for packed slots 0..len(keys)-1 of that run."""
+
+    def kernel(dt_ref, Sx_ref, Sy_ref, M_ref,
+               hp_ref, up_ref, vp_ref, h_ref, u_ref, v_ref,
+               hany, uany, vany, cosany,
+               oh_ref, ou_ref, ov_ref, halo, sem, *, ca, cb):
+        jt = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        def dmas(s, slot):
+            prev = jnp.maximum(s * TJS - 1, 0)
+            nxt = jnp.minimum(s * TJS + TJS, ny_pad - 1)
+            out = []
+            for fi, src in enumerate((hany, uany, vany)):
+                out.append(pltpu.make_async_copy(
+                    src.at[pl.ds(prev, 1)], halo.at[slot, 0, fi],
+                    sem.at[slot, 0, fi]))
+                out.append(pltpu.make_async_copy(
+                    src.at[pl.ds(nxt, 1)], halo.at[slot, 1, fi],
+                    sem.at[slot, 1, fi]))
+            out.append(pltpu.make_async_copy(
+                cosany.at[pl.ds(prev, 1)], halo.at[slot, 0, 3],
+                sem.at[slot, 0, 3]))
+            out.append(pltpu.make_async_copy(
+                cosany.at[pl.ds(nxt, 1)], halo.at[slot, 1, 3],
+                sem.at[slot, 1, 3]))
+            return out
+
+        two = jnp.int32(2)
+        slot = jax.lax.rem(jt, two)
+
+        @pl.when(jt == 0)
+        def _():
+            for d in dmas(jt, slot):
+                d.start()
+
+        @pl.when(jt + 1 < nsteps)
+        def _():
+            for d in dmas(jt + 1, jax.lax.rem(jt + 1, two)):
+                d.start()
+
+        for d in dmas(jt, slot):
+            d.wait()
+
+        h = h_ref[:]  # (TJS, nxw)
+        u = u_ref[:]
+        v = v_ref[:]
+        dtype = h.dtype
+        cl = M_ref[3]
+        cor = M_ref[4]
+        mask = M_ref[5]
+        g = jnp.asarray(GRAVITY, dtype)
+        half = jnp.asarray(0.5, dtype)
+
+        # derived channels at the tile rows
+        def derived(hh, uu, vv, cc):
+            E = g * hh + half * (uu * uu + vv * vv)
+            return (E, hh * uu, hh * vv * cc, uu * cc, vv)
+
+        ctr = derived(h, u, v, cl)
+        dp = derived(halo[slot, 0, 0], halo[slot, 0, 1], halo[slot, 0, 2],
+                     halo[slot, 0, 3])
+        dn = derived(halo[slot, 1, 0], halo[slot, 1, 1], halo[slot, 1, 2],
+                     halo[slot, 1, 3])
+
+        # hoisted row variants per channel: 2 sublane concats per channel
+        rows = []
+        for c, cp, cn in zip(ctr, dp, dn):
+            rows.append({
+                0: c,
+                1: jnp.concatenate([c[1:], cn], axis=0),
+                -1: jnp.concatenate([cp, c[:-1]], axis=0),
+            })
+
+        def apply_run(keys):
+            accEx = jnp.zeros_like(h)
+            accEy = jnp.zeros_like(h)
+            accD = jnp.zeros_like(h)
+            accZ = jnp.zeros_like(h)
+            for a, (dj, dc, is_pole) in enumerate(keys):
+                Sx = Sx_ref[a]
+                Sy = Sy_ref[a]
+                Es = _roll(rows[0][dj], dc)
+                accEx = accEx + Es * Sx
+                accEy = accEy + Es * Sy
+                if not is_pole:
+                    hus = _roll(rows[1][dj], dc)
+                    hvcs = _roll(rows[2][dj], dc)
+                    aus = _roll(rows[3][dj], dc)
+                    vs = _roll(rows[4][dj], dc)
+                    accD = accD + hus * Sx + hvcs * Sy
+                    accZ = accZ + vs * Sx - aus * Sy
+            gx = accEx * M_ref[0]
+            gy = accEy * M_ref[1]
+            div = accD * M_ref[2]
+            zeta = accZ * M_ref[2]
+            fz = cor + zeta
+            th = -div
+            tu = fz * v - gx
+            tv = -fz * u - gy
+            dt = dt_ref[0, 0]
+            cca = jnp.asarray(ca, dtype)
+            ccb = jnp.asarray(cb, dtype)
+            oh_ref[:] = cca * hp_ref[:] + ccb * (h + dt * th * mask)
+            ou_ref[:] = cca * up_ref[:] + ccb * (u + dt * tu * mask)
+            ov_ref[:] = cca * vp_ref[:] + ccb * (v + dt * tv * mask)
+
+        if len(runs) == 1:
+            apply_run(runs[0][2])
+        else:
+            for start, end, keys in runs:
+                @pl.when((jt >= start) & (jt < end))
+                def _(keys=keys):
+                    apply_run(keys)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("runs", "amax", "ca", "cb", "interpret"))
+def swe_stage_pallas(runs, amax, Sx, Sy, M, hp, up, vp, h, u, v, dt,
+                     ca, cb, interpret=False):
+    """One fused RK stage: returns (h', u', v') = ca*prev + cb*(s + dt*k(s)).
+
+    Sx/Sy: (amax, ny_pad, nxw_pad) packed per-run weights; M: (6, ny, nxw)
+    metric stack [Mx, My, Mdiv, cos_lat, coriolis, mask]; fields (ny, nxw);
+    dt scalar.
+    """
+    ny, nxw = h.shape
+    grid = (ny // TJS,)
+
+    f_spec = pl.BlockSpec((TJS, nxw), lambda jt: (jt, 0),
+                          memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    S_spec = pl.BlockSpec((amax, TJS, nxw), lambda jt: (0, jt, 0),
+                          memory_space=pltpu.VMEM)
+    M_spec = pl.BlockSpec((6, TJS, nxw), lambda jt: (0, jt, 0),
+                          memory_space=pltpu.VMEM)
+    dt_spec = pl.BlockSpec((1, 1), lambda jt: (0, 0),
+                           memory_space=pltpu.SMEM)
+
+    kernel = build_swe_stage_kernel(runs, ny, nxw, amax)
+    cos = M[3]
+    dt2 = jnp.asarray(dt, h.dtype).reshape(1, 1)
+    oh, ou, ov = pl.pallas_call(
+        partial(kernel, ca=float(ca), cb=float(cb)),
+        grid=grid,
+        in_specs=[dt_spec, S_spec, S_spec, M_spec,
+                  f_spec, f_spec, f_spec, f_spec, f_spec, f_spec,
+                  any_spec, any_spec, any_spec, any_spec],
+        out_specs=[f_spec, f_spec, f_spec],
+        out_shape=[jax.ShapeDtypeStruct(h.shape, h.dtype)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 4, 1, nxw), h.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 4)),
+        ],
+        interpret=interpret,
+    )(dt2, Sx, Sy, M, hp, up, vp, h, u, v, h, u, v, cos)
+    return oh, ou, ov
+
+
+class PallasShallowWater:
+    """Pallas-kernel SWE stepper built from a ShallowWaterModel's tables.
+
+    Orchestrates the three RK3 stages at the Python level (one fused pallas
+    call each) with a small jitted periodic x-halo fill between stages; the
+    axon platform cannot compile pallas calls nested in outer jit/control
+    flow, so the stage chain is not itself jitted.
+    """
+
+    def __init__(self, model):
+        self.model = model
+        s = model.sfvm.shifts
+        dtype = model.dtype
+        ny, nxw = s.ny, s.nxw
+        self.ny_pad = -(-ny // TJS) * TJS
+        self.nxw_pad = -(-nxw // 128) * 128
+        ny_pad, nxw_pad = self.ny_pad, self.nxw_pad
+
+        # key list: slot 0 = regular self term, optional pole self term, then
+        # all nonzero off-keys (regular + pole)
+        items = [((0, 0, False), s.S_total_regular)]
+        if np.abs(s.S_total_pole).sum() > 0:
+            items.append(((0, 0, True), s.S_total_pole))
+        for k, S in s.keys_regular.items():
+            if k != (0, 0):
+                items.append(((k[0], k[1], False), S))
+        for k, S in s.keys_pole.items():
+            if k != (0, 0):
+                items.append(((k[0], k[1], True), S))
+        nk = len(items)
+
+        # per-row-tile active sets -> contiguous runs
+        act = np.zeros((nk, ny_pad), bool)
+        for i, (_, S) in enumerate(items):
+            act[i, :ny] = np.abs(S).sum(axis=(1, 2)) > 0
+        runs = []
+        for jt in range(ny_pad // TJS):
+            ids = tuple(np.flatnonzero(act[:, jt * TJS:(jt + 1) * TJS].any(axis=1)))
+            if not ids:
+                ids = (0,)
+            if runs and runs[-1][2] == ids:
+                runs[-1] = (runs[-1][0], jt + 1, ids)
+            else:
+                runs.append((jt, jt + 1, ids))
+        amax = max(len(r[2]) for r in runs)
+
+        # packed S: slot a of rows in run R holds key ids_R[a]
+        Sx = np.zeros((amax, ny_pad, nxw_pad), np.float64)
+        Sy = np.zeros_like(Sx)
+        run_keys = []
+        for (j0, j1, ids) in runs:
+            keys = tuple(items[i][0] for i in ids)
+            run_keys.append((j0, j1, keys))
+            r0, r1 = j0 * TJS, min(j1 * TJS, ny)
+            for a, i in enumerate(ids):
+                Sx[a, r0:r1, :nxw] = items[i][1][r0:r1, :, 0]
+                Sy[a, r0:r1, :nxw] = items[i][1][r0:r1, :, 1]
+        self.runs = tuple(run_keys)
+        self.amax = amax
+        self.Sx = jnp.asarray(Sx, dtype)
+        self.Sy = jnp.asarray(Sy, dtype)
+
+        M = np.zeros((6, ny_pad, nxw_pad), np.float64)
+        M[0, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_x * s.mask
+        M[1, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_y * s.mask
+        M[2, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_y / s.cos_lat * s.mask
+        M[3, :ny, :nxw] = s.cos_lat
+        M[4, :ny, :nxw] = model.coriolis
+        M[5, :ny, :nxw] = s.mask
+        self.M = jnp.asarray(M, dtype)
+
+        hr = jnp.asarray(s.halo_rows)
+        hd = jnp.asarray(s.halo_dst)
+        hs = jnp.asarray(s.halo_src)
+
+        @jax.jit
+        def fill3(h, u, v):
+            def f(x):
+                return x.at[hr, hd].set(x[hr, hs])
+            return f(h), f(u), f(v)
+
+        self._fill3 = fill3
+        self.ny, self.nxw = ny, nxw
+        self.dtype = dtype
+
+    # ------------------------------------------------------------- field i/o
+    def pad(self, f):
+        """(ny, nxw) or (1, ny, nxw) layout field -> padded (ny_pad, nxw_pad)."""
+        f = jnp.asarray(f, self.dtype)
+        if f.ndim == 3:
+            f = f[0]
+        return jnp.pad(f, ((0, self.ny_pad - self.ny),
+                           (0, self.nxw_pad - self.nxw)))
+
+    def unpad(self, f):
+        return f[: self.ny, : self.nxw][None]
+
+    def pad_state(self, state):
+        return tuple(self.pad(state[k]) for k in ("h", "u", "v"))
+
+    def unpad_state(self, huv):
+        return {k: self.unpad(x) for k, x in zip(("h", "u", "v"), huv)}
+
+    # --------------------------------------------------------------- stepping
+    def _interpret(self):
+        return jax.default_backend() not in ("tpu", "axon")
+
+    def _stage(self, prev, cur, dt, ca, cb):
+        cur = self._fill3(*cur)
+        it = self._interpret()
+        return swe_stage_pallas(self.runs, self.amax, self.Sx, self.Sy,
+                                self.M, *prev, *cur, dt, ca, cb, interpret=it)
+
+    def step(self, huv, dt):
+        """One SSP-RK3 step on padded (h, u, v); three fused stage kernels."""
+        s1 = self._stage(huv, huv, dt, 0.0, 1.0)
+        s2 = self._stage(huv, s1, dt, 0.75, 0.25)
+        s3 = self._stage(huv, s2, dt, 1.0 / 3.0, 2.0 / 3.0)
+        return s3
