@@ -64,22 +64,18 @@ def build_swe_stage_kernel(runs, ny_pad, nxw, amax):
         nsteps = pl.num_programs(0)
 
         def dmas(s, slot):
+            # the ANY aliases are (ny_pad, 1, nxw) so the row dim is not the
+            # tiled sublane dim (Mosaic requires sublane slices aligned to 8)
             prev = jnp.maximum(s * TJS - 1, 0)
             nxt = jnp.minimum(s * TJS + TJS, ny_pad - 1)
             out = []
-            for fi, src in enumerate((hany, uany, vany)):
+            for fi, src in enumerate((hany, uany, vany, cosany)):
                 out.append(pltpu.make_async_copy(
                     src.at[pl.ds(prev, 1)], halo.at[slot, 0, fi],
                     sem.at[slot, 0, fi]))
                 out.append(pltpu.make_async_copy(
                     src.at[pl.ds(nxt, 1)], halo.at[slot, 1, fi],
                     sem.at[slot, 1, fi]))
-            out.append(pltpu.make_async_copy(
-                cosany.at[pl.ds(prev, 1)], halo.at[slot, 0, 3],
-                sem.at[slot, 0, 3]))
-            out.append(pltpu.make_async_copy(
-                cosany.at[pl.ds(nxt, 1)], halo.at[slot, 1, 3],
-                sem.at[slot, 1, 3]))
             return out
 
         two = jnp.int32(2)
@@ -114,10 +110,10 @@ def build_swe_stage_kernel(runs, ny_pad, nxw, amax):
             return (E, hh * uu, hh * vv * cc, uu * cc, vv)
 
         ctr = derived(h, u, v, cl)
-        dp = derived(halo[slot, 0, 0], halo[slot, 0, 1], halo[slot, 0, 2],
-                     halo[slot, 0, 3])
-        dn = derived(halo[slot, 1, 0], halo[slot, 1, 1], halo[slot, 1, 2],
-                     halo[slot, 1, 3])
+        dp = derived(halo[slot, 0, 0, 0], halo[slot, 0, 1, 0],
+                     halo[slot, 0, 2, 0], halo[slot, 0, 3, 0])
+        dn = derived(halo[slot, 1, 0, 0], halo[slot, 1, 1, 0],
+                     halo[slot, 1, 2, 0], halo[slot, 1, 3, 0])
 
         # hoisted row variants per channel: 2 sublane concats per channel
         rows = []
@@ -206,11 +202,13 @@ def swe_stage_pallas(runs, amax, Sx, Sy, M, hp, up, vp, h, u, v, dt,
         out_specs=[f_spec, f_spec, f_spec],
         out_shape=[jax.ShapeDtypeStruct(h.shape, h.dtype)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((2, 2, 4, 1, nxw), h.dtype),
+            pltpu.VMEM((2, 2, 4, 1, 1, nxw), h.dtype),
             pltpu.SemaphoreType.DMA((2, 2, 4)),
         ],
         interpret=interpret,
-    )(dt2, Sx, Sy, M, hp, up, vp, h, u, v, h, u, v, cos)
+    )(dt2, Sx, Sy, M, hp, up, vp, h, u, v,
+      h.reshape(ny, 1, nxw), u.reshape(ny, 1, nxw), v.reshape(ny, 1, nxw),
+      cos.reshape(ny, 1, nxw))
     return oh, ou, ov
 
 

@@ -69,10 +69,17 @@ class ShardedFvm:
         partitioner: str = "equal_regions",
         mesh: Optional[Mesh] = None,
         axis_name: str = "shard",
+        halo: int = 1,
     ):
+        """halo >= 2 grows the ghost region by k rings (reference
+        mesh/actions/BuildHalo.cc:1372 iterative growth) so operators can be
+        evaluated at rings <= halo-1 without re-exchanging — e.g. `laplacian`
+        (div of grad) runs with ONE exchange when halo >= 2, matching the
+        reference's halo-2 avoidance of a mid-operator exchange."""
         self.grid = grid
         self.nparts = int(nparts)
         self.axis_name = axis_name
+        self.halo = int(halo)
         self.method = FvmMethod(grid)
         self.part = Partitioner(partitioner, nb_parts=nparts).partition(grid)
         self._build_local()
@@ -92,39 +99,106 @@ class ShardedFvm:
         g = self.method.geometry
         m = self.method.mesh
         nparts = self.nparts
+        nn = m.nb_nodes
         global_index = m.nodes.global_index  # grid index of every mesh node
-        node_part = self.part[global_index]  # part of each mesh node's owner
-        is_owned_node = ~m.nodes.ghost
 
-        # --- owned node lists per part (mesh node ids, grid order) ---------
+        # --- representative (periodic-folded) space --------------------------
+        # Mesh ghost nodes are periodic x+360 copies with INCOMPLETE incidence
+        # (only the zipper strip's edges). Operators must never be evaluated
+        # at them, so everything here lives in "rep" space: each ghost folds
+        # onto its owner grid node, whose union of incidence (its own entries
+        # + its copies') is complete. Seam edges then appear multiple times;
+        # they are deduped to one canonical copy, with contribution signs
+        # flipped where a copy's dual normal is the canonical one reversed.
+        rep = np.where(m.nodes.ghost, global_index, np.arange(nn))
+        en_m = g.edge_nodes  # (nedges_mesh, 2) mesh node ids
+        er = rep[en_m]
+        ekey = np.minimum(er[:, 0], er[:, 1]) * nn + np.maximum(er[:, 0], er[:, 1])
+        uniq, canon_first, inv = np.unique(
+            ekey, return_index=True, return_inverse=True)
+        edge_canon = canon_first[inv]  # mesh edge -> canonical mesh edge id
+        keep_edges = canon_first  # canonical copies, in first-seen order
+        canon_id = np.full(g.nedges, -1, np.int64)
+        canon_id[keep_edges] = np.arange(len(keep_edges))
+        S_all = m.fields["dual_normals"]
+        # orientation of each copy vs its canonical copy
+        flip = np.sign(
+            np.einsum("ij,ij->i", S_all, S_all[edge_canon])
+        )
+        flip[flip == 0] = 1.0
+
+        en = er[keep_edges]  # canonical edges, rep endpoints
+        S = S_all[keep_edges]
+        pole_mask_g = g.pole_mask[keep_edges]
+        nedges = len(en)
+
+        # incidence in rep space: map receivers to owners, edges to canonical
+        # copies (sign-adjusted), drop duplicate (node, edge) contributions
+        inc_n_r = rep[g.inc_node]
+        inc_e_r = canon_id[edge_canon[g.inc_edge]]
+        inc_s_r = g.inc_sign * flip[g.inc_edge]
+        ikey = inc_n_r * nedges + inc_e_r
+        _, first = np.unique(ikey, return_index=True)
+        inc_node_g = inc_n_r[first]
+        inc_edge_g = inc_e_r[first]
+        inc_sign_g = inc_s_r[first]
+
+        pe_r = canon_id[edge_canon[g.pole_edge_ids]]
+        pole_edge_ids = np.unique(pe_r)
+
+        node_part = self.part[global_index]
+        is_phys = ~m.nodes.ghost
+
+        # --- owned node lists per part (rep node ids, grid order) -----------
         owned_ids = [
-            np.flatnonzero(is_owned_node & (node_part == p)) for p in range(nparts)
+            np.flatnonzero(is_phys & (node_part == p)) for p in range(nparts)
         ]
         self.nown = np.array([len(o) for o in owned_ids])
         nown_max = int(self.nown.max())
         self.owned_ids = owned_ids
 
-        # --- edges per part: incident to an owned node ---------------------
-        en = g.edge_nodes  # (nedges, 2) mesh node ids
-        S = self.method.mesh.fields["dual_normals"]
-        pole_mask_g = g.pole_mask
-        edge_sets = []
-        for p in range(nparts):
-            owned_mask_p = is_owned_node & (node_part == p)
-            inc = owned_mask_p[en[:, 0]] | owned_mask_p[en[:, 1]]
-            edge_sets.append(np.flatnonzero(inc))
+        # --- halo-k ring growth over the rep node adjacency -----------------
+        # (reference BuildHalo.cc:1184 iterative interior growth, done as k
+        # sparse mat-vec sweeps over ALL parts at once — no per-part isin)
+        from scipy import sparse
+
+        A = sparse.csr_matrix(
+            (np.ones(2 * nedges, np.int8),
+             (np.r_[en[:, 0], en[:, 1]], np.r_[en[:, 1], en[:, 0]])),
+            shape=(nn, nn),
+        )
+        owned_mat = np.zeros((nparts, nn), bool)
+        owned_mat[node_part[is_phys], np.flatnonzero(is_phys)] = True
+        members = owned_mat.copy()
+        front = owned_mat
+        for _ in range(self.halo):
+            nxt = np.asarray(front @ A) > 0
+            nxt &= ~members
+            members |= nxt
+            front = nxt
+        # evaluation set: nodes where operators are computed locally
+        eval_mask = owned_mat.copy()
+        front = owned_mat
+        for _ in range(self.halo - 1):
+            nxt = np.asarray(front @ A) > 0
+            nxt &= ~eval_mask
+            eval_mask |= nxt
+            front = nxt
+
+        # --- edges per part: incident to an evaluation node -----------------
+        e_inc = eval_mask[:, en[:, 0]] | eval_mask[:, en[:, 1]]  # (nparts, ne)
+        edge_sets = [np.flatnonzero(e_inc[p]) for p in range(nparts)]
         emax = max(len(e) for e in edge_sets)
 
-        # --- local node tables: owned first, then ghosts -------------------
-        # ghost = any node referenced by local edges that is not owned by p
+        # --- local node tables: owned first, then ghost rings ---------------
         local_tables = []
-        ghost_descs = []  # (ghost_part, ghost_local, src_part, src_local)
         nloc_counts = []
         for p in range(nparts):
-            e_ids = edge_sets[p]
-            ref = np.unique(en[e_ids].ravel())
-            owned_mask_p = is_owned_node & (node_part == p)
-            ghosts = ref[~owned_mask_p[ref]]
+            ref = np.zeros(nn, bool)
+            ref[en[edge_sets[p]].ravel()] = True
+            ref |= members[p]
+            ref &= ~owned_mat[p]
+            ghosts = np.flatnonzero(ref)
             table = np.concatenate([owned_ids[p], ghosts])
             local_tables.append(table)
             nloc_counts.append(len(table))
@@ -132,6 +206,7 @@ class ShardedFvm:
         self.nloc = nloc
         self.nown_max = nown_max
         self.local_tables = local_tables
+        self._eval_mask = eval_mask
 
         # mesh-node -> (part, local) lookup for owners
         owner_local = np.full(m.nb_nodes, -1, dtype=np.int64)
@@ -146,18 +221,17 @@ class ShardedFvm:
             local_of.append(lut)
         self.local_of = local_of
 
-        # ghost descriptors: value source = owner part's local row of the
-        # ghost's OWNER grid node (mesh ghosts resolve through global_index)
+        # ghost descriptors: ghosts are physical nodes owned elsewhere; the
+        # value source is the owner part's local row of the same node
         gp, gl, sp, sl = [], [], [], []
         for p in range(nparts):
             table = local_tables[p]
             ghosts = table[len(owned_ids[p]) :]
-            owner_mesh_node = global_index[ghosts]  # grid idx == owned mesh id
             q = node_part[ghosts]
             gp.append(np.full(len(ghosts), p))
             gl.append(np.arange(len(owned_ids[p]), len(table)))
             sp.append(q)
-            sl.append(owner_local[owner_mesh_node])
+            sl.append(owner_local[ghosts])
         ghost_part = np.concatenate(gp)
         ghost_local = np.concatenate(gl)
         src_part = np.concatenate(sp)
@@ -198,21 +272,22 @@ class ShardedFvm:
             cos_lat[p, : len(table)] = np.cos(lat_rad[table])
             lat_l[p, : len(table)] = lat_rad[table]
 
-            # incidence restricted to OWNED nodes of p (ghost rows never read)
-            local_eid = np.full(g.nedges, -1, dtype=np.int64)
+            # incidence restricted to EVALUATION nodes of p (owned + rings
+            # <= halo-1); ghost rows beyond that are never written
+            local_eid = np.full(nedges, -1, dtype=np.int64)
             local_eid[e_ids] = np.arange(ne)
-            sel = np.isin(g.inc_node, owned_ids[p])
-            inc_n = lut[g.inc_node[sel]]
-            inc_e = local_eid[g.inc_edge[sel]]
-            inc_s = g.inc_sign[sel]
+            sel = eval_mask[p][inc_node_g]
+            inc_n = lut[inc_node_g[sel]]
+            inc_e = local_eid[inc_edge_g[sel]]
+            inc_s = inc_sign_g[sel]
             assert (inc_e >= 0).all()
             order = np.argsort(inc_n, kind="stable")
             inc_lists.append((inc_n[order], inc_e[order], inc_s[order]))
 
-            # pole-edge corrections where n2 is owned by p
-            pe = g.pole_edge_ids
+            # pole-edge corrections where n2 is an evaluation node of p
+            pe = pole_edge_ids
             pe_n2 = en[pe, 1]
-            selp = np.isin(pe_n2, owned_ids[p])
+            selp = eval_mask[p][pe_n2]
             pole_lists.append((lut[pe_n2[selp]], local_eid[pe[selp]]))
 
         imax = max(len(x[0]) for x in inc_lists)
@@ -356,6 +431,18 @@ class ShardedFvm:
             v_sharded,
         )
 
+    def laplacian(self, f_sharded):
+        """div(grad f) with ONE halo exchange (requires halo >= 2).
+
+        Reference fvm::Nabla::laplacian (numerics/fvm/Nabla.cc:560-568)
+        re-exchanges between grad and div; with halo-2 ghosts the gradient is
+        valid at every ring-1 node, so the divergence of it is valid at every
+        owned node without a mid-operator exchange.
+        """
+        if self.halo < 2:
+            raise ValueError("sharded laplacian requires halo >= 2")
+        return self._shard_fn(_k_laplacian, f_sharded)
+
 
 # ------------------------------------------------------------------ kernels
 
@@ -380,6 +467,11 @@ def _k_gradient(gd, f_loc, ax):
     grad = _acc(gd, avgS, nloc)
     metric = jnp.stack([gd["metric_x"], gd["metric_y"]], axis=-1).astype(dtype)
     return grad * metric[:, None, :]
+
+
+def _k_laplacian(gd, f_loc, ax):
+    grad = _k_gradient(gd, f_loc, ax)  # (nloc, nlev, 2), valid at eval rows
+    return _k_divcurl(gd, grad, ax, which="div")
 
 
 def _k_divcurl(gd, v_loc, ax, which="div", metric_approach=0):

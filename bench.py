@@ -164,7 +164,14 @@ def bench_trans(args):
 
 
 def bench_swe(args):
-    """BASELINE config 4 (single chip): shallow-water RK3 step throughput."""
+    """BASELINE config 4 (single chip): shallow-water RK3 step throughput.
+
+    Default impl is the fused Pallas stage kernel (model/pallas_swe.py);
+    --impl xla measures the shift-structured XLA path for comparison.
+    vs_baseline = minimum HBM traffic of the fused step (packed weight
+    tables + metric stack + field reads/writes + halo fills) over the v5e
+    819 GB/s peak.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -180,33 +187,73 @@ def bench_swe(args):
     setup_s = time.time() - t0
     state = model.initial_state_williamson2()
     dt = jnp.asarray(model.suggested_dt(), dtype)
-    tables = model._tbl()
-    from atlas_tpu.model.shallow_water import _swe_rk3
 
-    K = max(args.niter, 10)
+    if args.impl != "xla":
+        from atlas_tpu.model.pallas_swe import PallasShallowWater, TJS
 
-    def make_chain():
-        def make(k):
-            @jax.jit
-            def chain(state):
-                def body(_, s):
-                    return _swe_rk3(tables, s, dt)
+        ps = PallasShallowWater(model)
+        huv = ps.pad_state(state)
+        sum_fn = jax.jit(lambda t: jnp.sum(t[0]))
 
-                out = jax.lax.fori_loop(0, k, body, state)
-                return jnp.sum(out["h"])
+        def chain(n, huv=huv):
+            x = huv
+            for _ in range(n):
+                x = ps.step(x, dt)
+            return float(sum_fn(x))
 
-            return chain
+        chain(1)  # compile
+        K = max(args.niter, 10)
+        t0 = time.perf_counter()
+        chain(1)
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sK = chain(K)
+        t_K = time.perf_counter() - t0
+        t_iter = max((t_K - t_one) / (K - 1), 1e-6)
+        assert np.isfinite(sK), "pallas SWE chain produced non-finite sum"
+        note = f"chain diff: {K} steps {t_K*1e3:.2f} ms vs 1 step {t_one*1e3:.2f} ms"
+        impl = "pallas"
+        plane = ps.ny_pad * ps.nxw_pad * jnp.dtype(dtype).itemsize
+        # per stage: packed S (2*amax) + metrics (6) + field reads/writes
+        # (3 prev + 3 cur + 3 out) + x-halo fill (3 r + 3 w)
+        traffic = 3 * (2 * ps.amax + 6 + 9 + 6) * plane
+    else:
+        tables = model._tbl()
+        from atlas_tpu.model.shallow_water import _swe_rk3
 
-        return make(1), make(K), K
+        K = max(args.niter, 10)
 
-    t_iter, note = _fori_pair(make_chain, state)
+        def make_chain():
+            def make(k):
+                @jax.jit
+                def chain(state):
+                    def body(_, s):
+                        return _swe_rk3(tables, s, dt)
+
+                    out = jax.lax.fori_loop(0, k, body, state)
+                    return jnp.sum(out["h"])
+
+                return chain
+
+            return make(1), make(K), K
+
+        t_iter, note = _fori_pair(make_chain, state)
+        impl = "xla"
+        s = model.sfvm.shifts
+        plane = s.ny * s.nxw * jnp.dtype(dtype).itemsize
+        nk = len(s.keys_regular) + len(s.keys_pole)
+        traffic = 3 * (2 * (nk + 2) + 6 + 9 + 6) * plane
+
     _emit(
         f"swe_rk3_{grid.name}_gridpoints_per_s",
-        grid.size / t_iter, "gridpoints/s", 0.0,
-        {"metric_kind": "swe", "grid": grid.name, "iter_time_s": t_iter,
-         "setup_s": setup_s, "timing_note": note, "dt_s": float(dt),
-         "dtype": str(dtype),
-         "note": "full vector-invariant SWE SSP-RK3 step (3 stages) per iteration"},
+        grid.size / t_iter, "gridpoints/s",
+        (traffic / t_iter) / 819e9,
+        {"metric_kind": "swe", "grid": grid.name, "impl": impl,
+         "iter_time_s": t_iter, "setup_s": setup_s, "timing_note": note,
+         "dt_s": float(dt), "dtype": str(dtype),
+         "min_traffic_MB": traffic / 1e6,
+         "note": "full vector-invariant SWE SSP-RK3 step (3 fused stages); "
+                 "vs_baseline = min step traffic / 819 GB/s v5e HBM peak"},
     )
 
 

@@ -127,3 +127,42 @@ def test_sharded_redistribution_matches_host():
         ba2[p, : len(idx)] = f2[idx]
     np.testing.assert_allclose(
         np.asarray(dev.execute(ba2)), host.execute(ba2), atol=0)
+
+
+@pytest.mark.parametrize("halo", [2, 3])
+def test_sharded_halo_k_gradient_matches_serial(halo):
+    """halo-k ghosts (BuildHalo.cc:1372 equivalent) leave owned results
+    unchanged — the extra rings only widen the evaluation set."""
+    grid = Grid("O16")
+    serial = FvmMethod(grid)
+    sh = ShardedFvm(grid, nparts=8, partitioner="equal_regions", halo=halo)
+    nabla = Nabla(serial)
+    g = serial.geometry
+    lat = np.deg2rad(g.lonlat[:, 1])
+    lon = np.deg2rad(g.lonlat[:, 0])
+    f_mesh = (np.cos(lat) * np.sin(3 * lon))[:, None]
+    grad_serial = np.asarray(nabla.gradient(f_mesh, halo_exchange=False))
+    grad_back = sh.gather_field(sh.gradient(sh.scatter_field(f_mesh[: grid.size])))
+    np.testing.assert_allclose(grad_back, grad_serial[: grid.size], rtol=0, atol=1e-18)
+
+
+def test_sharded_laplacian_single_exchange_matches_serial():
+    """halo-2 laplacian: ONE exchange, grad at ring-1 nodes, div at owned —
+    matches serial div(grad) (reference Nabla.cc:560-568)."""
+    grid = Grid("O16")
+    serial = FvmMethod(grid)
+    nabla = Nabla(serial)
+    g = serial.geometry
+    lat = np.deg2rad(g.lonlat[:, 1])
+    lon = np.deg2rad(g.lonlat[:, 0])
+    f_mesh = (np.sin(2 * lat) * np.cos(lon))[:, None]
+    lap_serial = np.asarray(nabla.laplacian(f_mesh, halo_exchange=False))
+
+    sh = ShardedFvm(grid, nparts=8, partitioner="equal_regions", halo=2)
+    lap_back = sh.gather_field(sh.laplacian(sh.scatter_field(f_mesh[: grid.size])))
+    np.testing.assert_allclose(
+        lap_back, lap_serial[: grid.size], rtol=1e-12, atol=1e-18)
+
+    with pytest.raises(ValueError):
+        ShardedFvm(grid, nparts=4, partitioner="bands", halo=1).laplacian(
+            sh.scatter_field(f_mesh[: grid.size]))
