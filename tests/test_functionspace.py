@@ -114,3 +114,52 @@ def test_redistribution_roundtrip():
     for p, idx in enumerate(r.idx_b):
         back[idx] = blocks_b[p, : len(idx)]
     np.testing.assert_array_equal(back, flat)
+
+
+def test_pointcloud_halo_creation():
+    """PointCloud from grid + partitioner with radius halos (reference
+    test_pointcloud_halo_creation.cc): ghosts = points of other parts within
+    the radius of an owned point; exchange fills them from their owners."""
+    import numpy as np
+    from atlas_tpu import Grid
+    from atlas_tpu.functionspace.point_cloud import PointCloud
+
+    grid = Grid("O16")
+    pc = PointCloud(grid, partitioner="equal_regions", nb_parts=4,
+                    halo_radius=0.15)
+    assert pc.nb_parts == 4
+    assert pc.nb_owned.sum() == grid.size
+    # ghosts are owned elsewhere and carry valid remote indices
+    for p, t in enumerate(pc.local_tables):
+        gh = t[pc.nb_owned[p]:]
+        assert (np.asarray(pc.distribution.partition)[gh] != p).all()
+        rows = np.arange(pc.nb_owned[p], len(t))
+        assert (pc.remote_index[p, rows] >= 0).all()
+        assert pc.ghost[p, rows].all()
+    # host halo exchange fills ghosts with the owner values
+    f = np.arange(grid.size, dtype=np.float64) * 2.0
+    loc = pc.scatter(f)
+    loc = pc.halo_exchange(loc)
+    for p, t in enumerate(pc.local_tables):
+        np.testing.assert_array_equal(loc[p, : len(t)], f[t])
+    np.testing.assert_array_equal(pc.gather(loc), f)
+
+
+def test_pointcloud_halo_exchange_device():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from atlas_tpu import Grid
+    from atlas_tpu.functionspace.point_cloud import PointCloud
+
+    grid = Grid("O8")
+    pc = PointCloud(grid, partitioner="equal_regions", nb_parts=8,
+                    halo_radius=0.3)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("pc",))
+    f = np.linspace(0, 1, grid.size)
+    loc = jax.device_put(jnp.asarray(pc.scatter(f)),
+                         NamedSharding(mesh, P("pc")))
+    out = np.asarray(pc.halo_exchange(loc, axis_name="pc", mesh=mesh))
+    ref = pc.halo_exchange(pc.scatter(f))
+    np.testing.assert_allclose(out[:, : pc.dummy], ref[:, : pc.dummy])
