@@ -67,10 +67,10 @@ def build_swe_stage_kernel(runs, ny_pad, nxw, amax, tjs):
     """runs: tuple of (jt_start, jt_end, keys) where keys is a tuple of
     (dj, dc, is_pole) for packed slots 0..len(keys)-1 of that run."""
 
-    def kernel(dt_ref, Sx_ref, Sy_ref, M_ref,
+    def kernel(sc_ref, Sx_ref, Sy_ref, M_ref,
                hp_ref, up_ref, vp_ref, h_ref, u_ref, v_ref,
                hany, uany, vany, cosany,
-               oh_ref, ou_ref, ov_ref, halo, sem, *, ca, cb):
+               oh_ref, ou_ref, ov_ref, halo, sem):
         jt = pl.program_id(0)
         nsteps = pl.num_programs(0)
 
@@ -161,9 +161,9 @@ def build_swe_stage_kernel(runs, ny_pad, nxw, amax, tjs):
             th = -div
             tu = fz * v - gx
             tv = -fz * u - gy
-            dt = dt_ref[0, 0]
-            cca = jnp.asarray(ca, dtype)
-            ccb = jnp.asarray(cb, dtype)
+            dt = sc_ref[0, 0]
+            cca = sc_ref[0, 1]
+            ccb = sc_ref[0, 2]
             oh_ref[:] = cca * hp_ref[:] + ccb * (h + dt * th * mask)
             ou_ref[:] = cca * up_ref[:] + ccb * (u + dt * tu * mask)
             ov_ref[:] = cca * vp_ref[:] + ccb * (v + dt * tv * mask)
@@ -179,8 +179,7 @@ def build_swe_stage_kernel(runs, ny_pad, nxw, amax, tjs):
     return kernel
 
 
-@partial(jax.jit,
-         static_argnames=("runs", "amax", "tjs", "ca", "cb", "interpret"))
+@partial(jax.jit, static_argnames=("runs", "amax", "tjs", "interpret"))
 def swe_stage_pallas(runs, amax, tjs, Sx, Sy, M, hp, up, vp, h, u, v, dt,
                      ca, cb, interpret=False):
     """One fused RK stage: returns (h', u', v') = ca*prev + cb*(s + dt*k(s)).
@@ -199,16 +198,18 @@ def swe_stage_pallas(runs, amax, tjs, Sx, Sy, M, hp, up, vp, h, u, v, dt,
                           memory_space=pltpu.VMEM)
     M_spec = pl.BlockSpec((6, tjs, nxw), lambda jt: (0, jt, 0),
                           memory_space=pltpu.VMEM)
-    dt_spec = pl.BlockSpec((1, 1), lambda jt: (0, 0),
+    sc_spec = pl.BlockSpec((1, 3), lambda jt: (0, 0),
                            memory_space=pltpu.SMEM)
 
     kernel = build_swe_stage_kernel(runs, ny, nxw, amax, tjs)
     cos = M[3]
-    dt2 = jnp.asarray(dt, h.dtype).reshape(1, 1)
+    sc = jnp.stack([jnp.asarray(dt, h.dtype),
+                    jnp.asarray(ca, h.dtype),
+                    jnp.asarray(cb, h.dtype)]).reshape(1, 3)
     oh, ou, ov = pl.pallas_call(
-        partial(kernel, ca=float(ca), cb=float(cb)),
+        kernel,
         grid=grid,
-        in_specs=[dt_spec, S_spec, S_spec, M_spec,
+        in_specs=[sc_spec, S_spec, S_spec, M_spec,
                   f_spec, f_spec, f_spec, f_spec, f_spec, f_spec,
                   any_spec, any_spec, any_spec, any_spec],
         out_specs=[f_spec, f_spec, f_spec],
@@ -218,7 +219,7 @@ def swe_stage_pallas(runs, amax, tjs, Sx, Sy, M, hp, up, vp, h, u, v, dt,
             pltpu.SemaphoreType.DMA((2, 2, 4)),
         ],
         interpret=interpret,
-    )(dt2, Sx, Sy, M, hp, up, vp, h, u, v,
+    )(sc, Sx, Sy, M, hp, up, vp, h, u, v,
       h.reshape(ny, 1, nxw), u.reshape(ny, 1, nxw), v.reshape(ny, 1, nxw),
       cos.reshape(ny, 1, nxw))
     return oh, ou, ov
@@ -338,9 +339,11 @@ class PallasShallowWater:
     def _stage(self, prev, cur, dt, ca, cb):
         cur = self._fill3(*cur)
         it = self._interpret()
+        dt = jnp.asarray(dt, self.dtype)
         return swe_stage_pallas(self.runs, self.amax, self.tjs, self.Sx,
-                                self.Sy, self.M, *prev, *cur, dt, ca, cb,
-                                interpret=it)
+                                self.Sy, self.M, *prev, *cur, dt,
+                                jnp.asarray(ca, self.dtype),
+                                jnp.asarray(cb, self.dtype), interpret=it)
 
     def step(self, huv, dt):
         """One SSP-RK3 step on padded (h, u, v); three fused stage kernels."""

@@ -179,6 +179,121 @@ class TransLocal:
             )
         return out[0] if squeeze else out
 
+    # ------------------------------------------------- invtrans w/ derivatives
+    def _deriv_tables(self):
+        """H = (1-mu^2) dP/dmu tables, split by (flipped) parity.
+
+        Recurrence for normalized associated Legendre functions:
+          (1-mu^2) dP_nm/dmu = (n+1) e_nm P_{n-1,m} - n e_{n+1,m} P_{n+1,m},
+          e_nm = sqrt((n^2 - m^2) / (4 n^2 - 1)).
+        H has the opposite parity to P, so the symmetric/antisymmetric masks
+        swap relative to the P tables (reference TransLocal scalar-derivative
+        path, trans/local/TransLocal.cc invtrans with derivatives).
+        """
+        if getattr(self, "_H_sym", None) is not None:
+            return self._H_sym, self._H_asym
+        t = self.truncation
+        sinlat = np.sin(self.grid.y[: self.nlat_half] * DEG2RAD)
+        # P up to degree t+1 for the n+1 term
+        P1 = legendre_polynomials(t + 1, sinlat)  # (half, ncoef(t+1))
+        ms1, ns1 = spectral_index(t + 1)
+        lut = np.full((t + 2, t + 2), -1)
+        lut[ms1, ns1] = np.arange(len(ms1))
+
+        ms, ns = self.ms, self.ns
+        e = lambda n, m: np.sqrt(
+            np.maximum((n**2 - m**2), 0) / (4.0 * n**2 - 1.0))
+        H = np.zeros((self.nlat_half, len(ms)))
+        for k, (m, n) in enumerate(zip(ms, ns)):
+            if n - 1 >= m:
+                H[:, k] += (n + 1) * e(n, m) * P1[:, lut[m, n - 1]]
+            H[:, k] -= n * e(n + 1, m) * P1[:, lut[m, n + 1]]
+        nmax = t + 1
+        H_m = np.zeros((t + 1, self.nlat_half, nmax))
+        H_m[ms, :, ns - ms] = H.T.reshape(len(ms), self.nlat_half)
+        par = self.parity  # parity of P; H parity is flipped
+        flip_sym = np.zeros((t + 1, nmax))
+        flip_sym[ms, ns - ms] = par.astype(np.float64)  # H symmetric here
+        flip_asym = np.zeros((t + 1, nmax))
+        flip_asym[ms, ns - ms] = 1.0 - par
+        self._H_sym = jnp.asarray(H_m * flip_sym[:, None, :], self.dtype)
+        self._H_asym = jnp.asarray(H_m * flip_asym[:, None, :], self.dtype)
+        return self._H_sym, self._H_asym
+
+    def invtrans_grad(self, spectra):
+        """Scalar fields plus horizontal derivatives on the grid.
+
+        Returns (f, dfdx, dfdy) each (nfields, grid.size): dfdx = the
+        east-west derivative 1/(R cos(lat)) df/dlon, dfdy = the north-south
+        derivative 1/R df/dlat (reference TransLocal scalar derivative path,
+        TransLocal.h invtrans with derivatives).
+        """
+        from ..util.constants import EARTH_RADIUS
+
+        spectra = jnp.asarray(spectra, self.dtype)
+        squeeze = spectra.ndim == 1
+        if squeeze:
+            spectra = spectra[None]
+        nf = spectra.shape[0]
+        t = self.truncation
+        ms, slots = self._coef_scatter
+        re = spectra[:, 0::2]
+        im = spectra[:, 1::2]
+        coef = jnp.zeros((nf, t + 1, t + 1, 2), self.dtype)
+        coef = coef.at[:, ms, slots, 0].set(re)
+        coef = coef.at[:, ms, slots, 1].set(im)
+        # d/dlon: multiply a_mn by i m -> (re, im) -> (-m im, m re)
+        marr = jnp.asarray(np.arange(t + 1), self.dtype)[None, :, None]
+        coef_dx = jnp.stack(
+            [-marr * coef[..., 1], marr * coef[..., 0]], axis=-1)
+
+        fn, fs = _legendre_inv(self.P_sym, self.P_asym, coef)
+        dxn, dxs = _legendre_inv(self.P_sym, self.P_asym, coef_dx)
+        H_sym, H_asym = self._deriv_tables()
+        dyn, dys = _legendre_inv(H_sym, H_asym, coef)
+
+        f = self._fourier_inv(fn, fs, nf, False)
+        dfdx = self._fourier_inv(dxn, dxs, nf, False)
+        dfdy = self._fourier_inv(dyn, dys, nf, False)
+        coslat = np.cos(
+            np.repeat(self.grid.y, self.nx) * DEG2RAD)
+        inv_rc = jnp.asarray(1.0 / (EARTH_RADIUS * coslat), self.dtype)
+        dfdx = dfdx * inv_rc
+        dfdy = dfdy * inv_rc  # H = cos(lat) dP/dlat, so divide by R cos
+        if squeeze:
+            return f[0], dfdx[0], dfdy[0]
+        return f, dfdx, dfdy
+
+    # --------------------------------------------- unstructured / cropped
+    def invtrans_unstructured(self, spectra, lonlat):
+        """Inverse transform to ARBITRARY points (reference TransLocal
+        unstructured/cropped-domain path, trans/local/TransLocal.h:192-198).
+
+        lonlat: (npts, 2) degrees. Returns (nfields, npts). Direct synthesis:
+        f(p) = sum_m (2 - delta_m0) Re(a_m(p) e^{i m lon}) with
+        a_m(p) = sum_n a_mn P_mn(sin lat_p) — O(npts * ncoef), intended for
+        cropped domains and PointCloud targets.
+        """
+        spectra = np.asarray(spectra)
+        squeeze = spectra.ndim == 1
+        if squeeze:
+            spectra = spectra[None]
+        lonlat = np.asarray(lonlat, np.float64).reshape(-1, 2)
+        t = self.truncation
+        ms, _ = self.ms, self.ns
+        P = legendre_polynomials(t, np.sin(lonlat[:, 1] * DEG2RAD))
+        lam = lonlat[:, 0] * DEG2RAD
+        cosml = np.cos(np.outer(lam, self.ms))
+        sinml = np.sin(np.outer(lam, self.ms))
+        fac = np.where(self.ms == 0, 1.0, 2.0)
+        re = spectra[:, 0::2]
+        im = spectra[:, 1::2]
+        basis = P * fac  # (npts, ncoef)
+        out = np.einsum("pk,fk->fp", basis * cosml, re) - np.einsum(
+            "pk,fk->fp", basis * sinml, im)
+        out = out.astype(spectra.dtype)
+        return out[0] if squeeze else out
+
     # -------------------------------------------------------------- dirtrans
     def dirtrans(self, fields):
         """Grid fields -> packed spectra via Gaussian quadrature.

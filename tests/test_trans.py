@@ -232,3 +232,57 @@ def test_trans_invtrans_vordiv2wind_solid_body():
     u_ref = omega * EARTH_RADIUS * np.cos(np.deg2rad(lat))
     np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-10, atol=1e-6)
     np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-6)
+
+
+def test_invtrans_unstructured_matches_grid():
+    """Unstructured-target synthesis equals the grid-path synthesis at the
+    grid's own points (TransLocal.h:192-198 cropped/unstructured path)."""
+    import numpy as np
+    from atlas_tpu import Grid
+    from atlas_tpu.trans import TransLocal, nspec2, spectral_index
+
+    grid = Grid("F24")
+    T = 21
+    tr = TransLocal(grid, T, dtype=np.float64)
+    rng = np.random.default_rng(3)
+    sp = rng.standard_normal(nspec2(T))
+    ms, _ = spectral_index(T)
+    sp[2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    ref = np.asarray(tr.invtrans(sp))
+    out = tr.invtrans_unstructured(sp, grid.lonlat())
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-10)
+
+
+def test_invtrans_grad_analytic():
+    """invtrans_grad derivatives vs analytic gradient of one spherical
+    harmonic (reference TransLocal scalar-derivative path)."""
+    import numpy as np
+    from atlas_tpu import Grid
+    from atlas_tpu.trans import TransLocal, nspec2, spectral_index
+    from atlas_tpu.util.constants import EARTH_RADIUS
+
+    grid = Grid("F32")
+    T = 21
+    tr = TransLocal(grid, T, dtype=np.float64)
+    # single harmonic m=3, n=5: f = Re(a P e^{i m lon}), a = 1
+    ms, ns = spectral_index(T)
+    k = int(np.flatnonzero((ms == 3) & (ns == 5))[0])
+    sp = np.zeros(nspec2(T))
+    sp[2 * k] = 1.0
+    f, dfdx, dfdy = tr.invtrans_grad(sp)
+    f = np.asarray(f); dfdx = np.asarray(dfdx); dfdy = np.asarray(dfdy)
+
+    # analytic via central differences of the unstructured synthesis
+    ll = grid.lonlat()
+    eps = 1e-4
+    fE = tr.invtrans_unstructured(sp, ll + [eps, 0])
+    fW = tr.invtrans_unstructured(sp, ll - [eps, 0])
+    fN = tr.invtrans_unstructured(sp, ll + [0, eps])
+    fS = tr.invtrans_unstructured(sp, ll - [0, eps])
+    d2r = np.pi / 180.0
+    coslat = np.cos(np.deg2rad(ll[:, 1]))
+    ref_dx = (fE - fW) / (2 * eps * d2r) / (EARTH_RADIUS * coslat)
+    ref_dy = (fN - fS) / (2 * eps * d2r) / EARTH_RADIUS
+    scale = np.abs(ref_dx).max()
+    np.testing.assert_allclose(dfdx, ref_dx, rtol=0, atol=1e-6 * scale)
+    np.testing.assert_allclose(dfdy, ref_dy, rtol=0, atol=1e-6 * scale)
