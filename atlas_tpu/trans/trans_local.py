@@ -270,9 +270,12 @@ class TransLocal:
         unstructured/cropped-domain path, trans/local/TransLocal.h:192-198).
 
         lonlat: (npts, 2) degrees. Returns (nfields, npts). Direct synthesis:
-        f(p) = sum_m (2 - delta_m0) Re(a_m(p) e^{i m lon}) with
+        f(p) = sum_m Re(a_m(p) e^{i m lon}) with
         a_m(p) = sum_n a_mn P_mn(sin lat_p) — O(npts * ncoef), intended for
-        cropped domains and PointCloud targets.
+        cropped domains and PointCloud targets. The packed-spectra convention
+        here folds the (2 - delta_m0) real-synthesis factor into the stored
+        coefficients (matching invtrans/dirtrans: spec = nx*c_m/(2-delta_m0)
+        before irfft), so NO extra factor is applied per m.
         """
         spectra = np.asarray(spectra)
         squeeze = spectra.ndim == 1
@@ -285,12 +288,10 @@ class TransLocal:
         lam = lonlat[:, 0] * DEG2RAD
         cosml = np.cos(np.outer(lam, self.ms))
         sinml = np.sin(np.outer(lam, self.ms))
-        fac = np.where(self.ms == 0, 1.0, 2.0)
         re = spectra[:, 0::2]
         im = spectra[:, 1::2]
-        basis = P * fac  # (npts, ncoef)
-        out = np.einsum("pk,fk->fp", basis * cosml, re) - np.einsum(
-            "pk,fk->fp", basis * sinml, im)
+        out = np.einsum("pk,fk->fp", P * cosml, re) - np.einsum(
+            "pk,fk->fp", P * sinml, im)
         out = out.astype(spectra.dtype)
         return out[0] if squeeze else out
 
