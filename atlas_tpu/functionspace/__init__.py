@@ -1,3 +1,4 @@
+from .base import FunctionSpace
 from .structured_columns import StructuredColumns, BlockStructuredColumns
 from .node_columns import NodeColumns
 from .cell_columns import CellColumns, EdgeColumns
@@ -6,6 +7,7 @@ from .point_cloud import PointCloud
 from .cubedsphere import CubedSphereColumns
 
 __all__ = [
+    "FunctionSpace",
     "StructuredColumns",
     "BlockStructuredColumns",
     "NodeColumns",

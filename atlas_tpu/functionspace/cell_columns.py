@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import Field
+from .base import FunctionSpace
 
 
 def _owner_map(key: np.ndarray, is_ghost: np.ndarray):
@@ -41,7 +42,7 @@ def _owner_map(key: np.ndarray, is_ghost: np.ndarray):
     return owner
 
 
-class _ElementColumns:
+class _ElementColumns(FunctionSpace):
     """Shared implementation for cell and edge fields."""
 
     def __init__(self, mesh, size: int, owner: np.ndarray, is_ghost: np.ndarray, levels=None):
@@ -56,14 +57,8 @@ class _ElementColumns:
     def nb_owned(self) -> int:
         return int(self._owned.sum())
 
-    def create_field(self, name="field", levels=None, variables=None, dtype=np.float64):
-        levels = levels if levels is not None else self.levels
-        shape = (self.size,)
-        if levels:
-            shape += (levels,)
-        if variables:
-            shape += (variables,)
-        return Field(name, np.zeros(shape, dtype), functionspace=self, levels=levels, variables=variables)
+    def owned_mask(self):
+        return self._owned
 
     def halo_exchange(self, data):
         """Ghost elements take their owner's value."""
@@ -75,18 +70,10 @@ class _ElementColumns:
         gh = np.flatnonzero(self._ghost)
         return jnp.asarray(data).at[gh].set(jnp.asarray(data)[self._owner[gh]])
 
-    def gather(self, data):
-        return np.asarray(data)[self._owned]
-
     def scatter(self, glb):
         out = np.zeros((self.size,) + np.asarray(glb).shape[1:], np.asarray(glb).dtype)
         out[self._owned] = glb
         return self.halo_exchange(out)
-
-    def checksum(self, data) -> str:
-        from ..parallel.checksum import checksum
-
-        return checksum(self.gather(data))
 
 
 class CellColumns(_ElementColumns):

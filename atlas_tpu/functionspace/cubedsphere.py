@@ -12,9 +12,10 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import Field
+from .base import FunctionSpace
 
 
-class CubedSphereColumns:
+class CubedSphereColumns(FunctionSpace):
     def __init__(self, grid, levels: int | None = None):
         from ..grid.cubedsphere import CubedSphereGrid
 

@@ -13,9 +13,10 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import Field
+from .base import FunctionSpace
 
 
-class NodeColumns:
+class NodeColumns(FunctionSpace):
     def __init__(self, mesh_or_grid, halo: int = 1, levels: int | None = None):
         from ..fvm.method import FvmMethod
         from ..mesh.mesh import Mesh
@@ -31,6 +32,7 @@ class NodeColumns:
         self.levels = levels
         g = self.method.geometry
         self.nb_nodes = g.nnodes
+        self.size = g.nnodes
         self._owned = g.owned_mask
 
     @property
@@ -40,27 +42,21 @@ class NodeColumns:
     def lonlat(self):
         return self.method.geometry.lonlat
 
-    # -- fields -----------------------------------------------------------
-    def create_field(self, name="field", levels=None, variables=None, dtype=np.float64):
-        levels = levels if levels is not None else self.levels
-        shape = (self.nb_nodes,)
-        if levels:
-            shape += (levels,)
-        if variables:
-            shape += (variables,)
-        return Field(name, np.zeros(shape, dtype), functionspace=self, levels=levels, variables=variables)
+    def owned_mask(self):
+        return self._owned
+
+    def _point_partition(self):
+        p = getattr(self.mesh.nodes, "partition", None)
+        if p is not None:
+            return np.asarray(p)
+        return np.zeros(self.size, dtype=np.int32)
+
+    @property
+    def nb_parts(self):
+        return int(self._point_partition().max()) + 1
 
     def halo_exchange(self, data):
         return self.method.halo_exchange(data)
-
-    def gather(self, data):
-        """Owned-node values in grid order (single-controller global gather)."""
-        return np.asarray(data)[self._owned]
-
-    def checksum(self, data) -> str:
-        from ..parallel.checksum import checksum
-
-        return checksum(self.gather(data))
 
     # -- statistics (reference NodeColumns.h:103-160) ----------------------
     def _owned_values(self, data):

@@ -15,9 +15,10 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import Field
+from .base import FunctionSpace
 
 
-class PointCloud:
+class PointCloud(FunctionSpace):
     def __init__(self, lonlat: np.ndarray, levels: int | None = None,
                  distribution=None, partitioner=None, nb_parts: int | None = None,
                  halo_radius: float = 0.0):
@@ -110,15 +111,6 @@ class PointCloud:
 
     def lonlat(self) -> np.ndarray:
         return self._lonlat
-
-    def create_field(self, name="field", levels=None, variables=None, dtype=np.float64):
-        levels = levels if levels is not None else self.levels
-        shape = (self.size,)
-        if levels:
-            shape += (levels,)
-        if variables:
-            shape += (variables,)
-        return Field(name, np.zeros(shape, dtype), functionspace=self, levels=levels, variables=variables)
 
     # -------------------------------------------------------------- dist ops
     def scatter(self, f_global: np.ndarray) -> np.ndarray:

@@ -10,10 +10,11 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import Field
+from .base import FunctionSpace
 from ..trans.legendre import nspec2, spectral_index
 
 
-class Spectral:
+class Spectral(FunctionSpace):
     def __init__(self, truncation: int, levels: int | None = None,
                  nb_parts: int = 1, part: int = 0):
         self.truncation = int(truncation)

@@ -19,9 +19,10 @@ import numpy as np
 
 from ..field import Field
 from ..util.config import Config
+from .base import FunctionSpace
 
 
-class StructuredColumns:
+class StructuredColumns(FunctionSpace):
     def __init__(self, grid, distribution=None, halo: int = 1, levels: int | None = None):
         from ..grid.structured import StructuredGrid
 
@@ -54,29 +55,9 @@ class StructuredColumns:
         return self.grid.lonlat()
 
     # -- fields -----------------------------------------------------------
-    def create_field(self, name="field", levels=None, variables=None, dtype=np.float64):
-        levels = levels if levels is not None else self.levels
-        shape = (self.size,)
-        if levels:
-            shape += (levels,)
-        if variables:
-            shape += (variables,)
-        return Field(name, np.zeros(shape, dtype), functionspace=self, levels=levels, variables=variables)
-
     def halo_exchange(self, data):
         """Fields here carry owned points only; nothing to exchange serially."""
         return data
-
-    def gather(self, data):
-        return np.asarray(data)
-
-    def scatter(self, data):
-        return np.asarray(data)
-
-    def checksum(self, data) -> str:
-        from ..parallel.checksum import checksum
-
-        return checksum(data)
 
     def __repr__(self):
         return f"StructuredColumns({self.grid.name!r}, halo={self.halo})"

@@ -25,9 +25,10 @@ from functools import partial
 import numpy as np
 
 from ..parallel.halo import build_halo_schedule, apply_schedule
+from .base import FunctionSpace
 
 
-class DistributedStructuredColumns:
+class DistributedStructuredColumns(FunctionSpace):
     """halo-k structured function space over an explicit distribution.
 
     Fields are (nparts, nloc, ...) blocks; nloc = rows_loc * cols_loc + 1

@@ -37,7 +37,15 @@ def _source_points_parts(source):
         return source.grid.lonlat(), source.part
     if isinstance(source, tuple) and len(source) == 2:
         return np.asarray(source[0]), np.asarray(source[1])
-    if hasattr(source, "distribution"):
+    from ..functionspace.base import FunctionSpace
+
+    if isinstance(source, FunctionSpace):
+        # MatchingFunctionSpacePartitioner (reference grid/detail/partitioner/
+        # MatchingFunctionSpacePartitionerLonLatPolygon.cc): owned points +
+        # their owning part, from any function space
+        mask = source.owned_mask()
+        return np.asarray(source.lonlat())[mask], source._point_partition()[mask]
+    if hasattr(source, "distribution") and source.distribution is not None:
         d = source.distribution
         return d.grid.lonlat(), d.partition
     raise TypeError(f"cannot extract (points, parts) from {type(source)}")
@@ -124,3 +132,10 @@ partitioner_factory.register("spherical-polygon", MatchingSphericalPolygonPartit
 
 def MatchingMeshPartitioner(source, mode: str = "brute-force"):
     return MatchingPartitioner(source=source, mode=mode)
+
+
+def MatchingFunctionSpacePartitioner(functionspace, mode: str = "lonlat-polygon"):
+    """Partition a grid to match a FUNCTION SPACE's decomposition (reference
+    MatchingFunctionSpacePartitioner / ...LonLatPolygon.cc): each target point
+    goes to the part whose owned-region polygon contains it."""
+    return MatchingPartitioner(source=functionspace, mode=mode)

@@ -163,3 +163,40 @@ def test_pointcloud_halo_exchange_device():
     out = np.asarray(pc.halo_exchange(loc, axis_name="pc", mesh=mesh))
     ref = pc.halo_exchange(pc.scatter(f))
     np.testing.assert_allclose(out[:, : pc.dummy], ref[:, : pc.dummy])
+
+
+def test_functionspace_base_polygon_and_matching():
+    """FunctionSpace.polygon(part) + MatchingFunctionSpacePartitioner
+    (reference FunctionSpace::polygon, util/PartitionPolygon.cc;
+    MatchingFunctionSpacePartitionerLonLatPolygon.cc)."""
+    import numpy as np
+    from atlas_tpu import Grid
+    from atlas_tpu.functionspace import FunctionSpace, StructuredColumns
+    from atlas_tpu.partition import Partitioner
+    from atlas_tpu.partition.distribution import Distribution
+    from atlas_tpu.partition.matching import MatchingFunctionSpacePartitioner
+
+    grid = Grid("O16")
+    dist = Distribution(grid, Partitioner("equal_bands", nb_parts=4))
+    fs = StructuredColumns(grid, distribution=dist)
+    assert isinstance(fs, FunctionSpace)
+    polys = fs.polygons()
+    assert len(polys) == 4
+    # every part's own points land inside (or on) its polygon's lat range
+    lonlat = grid.lonlat()
+    for p in range(4):
+        pts = lonlat[np.asarray(dist.partition) == p]
+        poly = fs.polygon(p)
+        assert poly.shape[1] == 2
+        assert pts[:, 1].min() >= poly[:, 1].min() - 1e-9
+        assert pts[:, 1].max() <= poly[:, 1].max() + 1e-9
+
+    # matching partitioner reproduces band ownership on a different grid
+    mp = MatchingFunctionSpacePartitioner(fs)
+    tgt = Grid("O8")
+    part = mp.partition(tgt)
+    assert part.min() >= 0 and part.max() <= 3
+    # band ownership: part index non-decreasing as latitude decreases
+    lat = tgt.lonlat()[:, 1]
+    order = np.argsort(-lat, kind="stable")
+    assert (np.diff(part[order]) >= 0).mean() > 0.99
