@@ -131,20 +131,7 @@ def _latlon_box_cells(grid):
 
 
 def _cubed_sphere_cells(grid):
-    N = grid.N
-    u = np.arange(N + 1) / N * 2.0 - 1.0
-    if grid.stagger in ("ED", "LFR"):
-        a = np.tan(u * np.pi / 4.0)
-    else:
-        a = u
-    from ..grid.cubedsphere import _TILE_FRAMES
-
-    A, B = np.meshgrid(a, a, indexing="xy")
-    corners = np.empty((6, N + 1, N + 1, 3))
-    for t, (c, tx, ty) in enumerate(_TILE_FRAMES):
-        c, tx, ty = (np.asarray(v, dtype=np.float64) for v in (c, tx, ty))
-        p = c[None, None] + A[..., None] * tx[None, None] + B[..., None] * ty[None, None]
-        corners[t] = p / np.linalg.norm(p, axis=-1, keepdims=True)
+    corners = grid.corner_xyz()
     # cell (t, j, i): corners (j,i), (j,i+1), (j+1,i+1), (j+1,i)
     v00 = corners[:, :-1, :-1]
     v01 = corners[:, :-1, 1:]

@@ -15,24 +15,9 @@ from ..util.geometry import lonlat_to_xyz
 from .interpolation import Method, interpolation_factory
 
 
-def _tile_of(xyz: np.ndarray) -> np.ndarray:
-    """Face index with the reference frame layout of grid/cubedsphere.py."""
-    ax = np.abs(xyz)
-    arg = ax.argmax(axis=1)
-    out = np.empty(len(xyz), dtype=np.int64)
-    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    out[(arg == 0) & (x > 0)] = 0
-    out[(arg == 0) & (x <= 0)] = 2
-    out[(arg == 1) & (y > 0)] = 1
-    out[(arg == 1) & (y <= 0)] = 3
-    out[(arg == 2) & (z > 0)] = 4
-    out[(arg == 2) & (z <= 0)] = 5
-    return out
-
-
 class CubedSphereBilinear(Method):
     def __init__(self, grid, tgt_lonlat: np.ndarray):
-        from ..grid.cubedsphere import _TILE_FRAMES, CubedSphereGrid
+        from ..grid.cubedsphere import CubedSphereGrid
 
         if not isinstance(grid, CubedSphereGrid):
             raise TypeError("cubedsphere-bilinear needs a CubedSphereGrid source")
@@ -42,8 +27,8 @@ class CubedSphereBilinear(Method):
         self.nsrc = grid.size
 
         P = lonlat_to_xyz(tgt)
-        tile = _tile_of(P)
-        frames = np.asarray(_TILE_FRAMES, dtype=np.float64)  # (6, 3 vectors, 3)
+        tile = grid.tiles.index_from_xyz(P)
+        frames = grid.tiles.frames()  # (6, 3 vectors (c/tx/ty), 3)
         c = frames[tile, 0]
         tx = frames[tile, 1]
         ty = frames[tile, 2]

@@ -79,24 +79,12 @@ class CubedSphereMeshGenerator:
         pass
 
     def generate(self, grid, distribution=None) -> Mesh:
-        from ..grid.cubedsphere import _TILE_FRAMES, CubedSphereGrid
+        from ..grid.cubedsphere import CubedSphereGrid
 
         if not isinstance(grid, CubedSphereGrid):
             raise TypeError("cubedsphere mesh generator needs a CubedSphereGrid")
         N = grid.N
-        # corner local coordinates (N+1 per side)
-        u = np.arange(N + 1) / N * 2.0 - 1.0
-        if grid.stagger in ("ED", "LFR"):
-            a = np.tan(u * np.pi / 4.0)
-        else:
-            a = u
-        A, B = np.meshgrid(a, a, indexing="xy")
-        corners = np.empty((6, N + 1, N + 1, 3))
-        for t, (c, tx, ty) in enumerate(_TILE_FRAMES):
-            c, tx, ty = (np.asarray(v, dtype=np.float64) for v in (c, tx, ty))
-            p = c[None, None] + A[..., None] * tx[None, None] + B[..., None] * ty[None, None]
-            corners[t] = p / np.linalg.norm(p, axis=-1, keepdims=True)
-        flat = corners.reshape(-1, 3)
+        flat = grid.corner_xyz().reshape(-1, 3)
         # dedup shared edge/corner nodes by quantized xyz key
         key = np.round(flat * 1e10).astype(np.int64)
         _, first, inverse = np.unique(
