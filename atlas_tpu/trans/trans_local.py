@@ -86,9 +86,23 @@ class TransLocal:
 
         self.P_sym = jnp.asarray(P_sym_np, self.dtype)
         self.P_asym = jnp.asarray(P_asym_np, self.dtype)
+        # one batched GEMM for both parities: lat axis = [sym half | asym half]
+        self.P_cat = jnp.concatenate([self.P_sym, self.P_asym], axis=1)
         self.sym_mask = sym_mask
         self.parity = parity
         self.ms, self.ns = ms, ns
+
+        # gather-based coefficient unpack (scatter .at[].set is ~5x slower on
+        # TPU): packed index k for slot (m, n-m), 0 + zero mask where empty
+        gidx = np.zeros((t + 1, nmax), np.int32)
+        gmask = np.zeros((t + 1, nmax))
+        gidx[ms, ns - ms] = np.arange(len(ms), dtype=np.int32)
+        gmask[ms, ns - ms] = 1.0
+        gmask_im = gmask.copy()
+        gmask_im[0] = 0.0  # m=0 coefficients are real
+        self._gidx = jnp.asarray(gidx)
+        self._gmask = jnp.asarray(gmask, self.dtype)
+        self._gmask_im = jnp.asarray(gmask_im, self.dtype)
 
         # Fourier: per-row lengths and per-row m-truncation
         self.nx = grid.nx.astype(np.int64)
@@ -110,6 +124,39 @@ class TransLocal:
         except Exception:
             self.quad_w = None
 
+        # Fourier synthesis as per-row-group real GEMMs on the MXU: for rows
+        # of length nx, out[x] = sum_m Re(F_m) cos(m lam_x) - Im(F_m)
+        # sin(m lam_x), lam_x = 2 pi x / nx. One (2(T+1), nx) matrix per
+        # distinct nx (m > (nx-1)/2 rows zeroed = the Nyquist mask); complex
+        # irfft + full-grid scatter replaced by GEMM + one gather. 10-50x
+        # faster than jnp.fft.irfft at T<=320 sizes on TPU.
+        mm = np.arange(t + 1)
+        offs = grid.row_offset
+        groups = []
+        perm = np.empty(grid.size, np.int64)
+        pos = 0
+        for nx in np.unique(self.nx):
+            rows = np.flatnonzero(self.nx == nx)
+            nx = int(nx)
+            lam = 2.0 * np.pi * np.arange(nx) / nx
+            act = mm <= min(t, (nx - 1) // 2)
+            M = np.zeros((2 * (t + 1), nx))
+            M[: t + 1][act] = np.cos(np.outer(mm[act], lam))
+            M[t + 1 :][act] = -np.sin(np.outer(mm[act], lam))
+            groups.append((rows, jnp.asarray(M, self.dtype)))
+            for i, r in enumerate(rows):
+                perm[offs[r] : offs[r] + nx] = pos + i * nx + np.arange(nx)
+            pos += len(rows) * nx
+        self._fourier_groups = groups
+        self._fourier_perm = None if np.array_equal(
+            perm, np.arange(grid.size)) else jnp.asarray(perm)
+        if np.any(self.x0 != 0.0):
+            phi = np.outer(self.x0, mm)  # (ny, t+1)
+            self._phase = (jnp.asarray(np.cos(phi), self.dtype),
+                           jnp.asarray(np.sin(phi), self.dtype))
+        else:
+            self._phase = None
+
     # -------------------------------------------------------------- invtrans
     def invtrans(self, spectra) -> jnp.ndarray:
         """Packed real spectra (nfields, nspec2) or (nspec2,) -> grid fields.
@@ -123,61 +170,56 @@ class TransLocal:
             spectra = spectra[None]
         nf = spectra.shape[0]
         t = self.truncation
-        # unpack to (nf, T+1 m, nmax slots, 2)
-        coef = jnp.zeros((nf, t + 1, t + 1, 2), self.dtype)
-        re = spectra[:, 0::2]
-        im = spectra[:, 1::2]
-        ms, slots = self._coef_scatter
-        coef = coef.at[:, ms, slots, 0].set(re)
-        coef = coef.at[:, ms, slots, 1].set(im)
-
-        fnorth, fsouth = _legendre_inv(self.P_sym, self.P_asym, coef)
-        # (nf, T+1, nlat_half, 2) each -> assemble rows north..equator..south
-        return self._fourier_inv(fnorth, fsouth, nf, squeeze)
+        half = self.nlat_half
+        # gather-unpack to (nf, T+1 m, nmax slots) re/im, then one batched
+        # MXU GEMM over m with q = (field, re/im) packed in the minor axis
+        re = spectra[:, 0::2][:, self._gidx] * self._gmask
+        im = spectra[:, 1::2][:, self._gidx] * self._gmask_im
+        rhs = jnp.stack([re, im], axis=-1)  # (nf, m, n, 2)
+        rhs = jnp.transpose(rhs, (1, 2, 0, 3)).reshape(t + 1, t + 1, nf * 2)
+        C = jnp.einsum("mxn,mnq->mxq", self.P_cat, rhs,
+                       preferred_element_type=self.dtype)
+        S, A = C[:, :half], C[:, half:]
+        # hemispheres: N = S + A, S = S - A -> rows (nf, ny, T+1, 2)
+        Fn = jnp.transpose((S + A).reshape(t + 1, half, nf, 2), (2, 1, 0, 3))
+        Fs = jnp.transpose((S - A).reshape(t + 1, half, nf, 2), (2, 1, 0, 3))
+        F = jnp.concatenate([Fn, Fs[:, ::-1][:, 2 * half - self.grid.ny:]],
+                            axis=1)
+        out = self._fourier_rows(F, nf)
+        return out[0] if squeeze else out
 
     def _fourier_inv(self, fnorth, fsouth, nf, squeeze):
-        grid = self.grid
-        ny = grid.ny
-        t = self.truncation
-        half = self.nlat_half
-        # per-row Fourier coefficients (nf, ny, T+1) complex, rows north->south
+        """(nf, T+1, nlat_half, 2) hemispheres -> grid values (GEMM core)."""
         Fn = jnp.transpose(fnorth, (0, 2, 1, 3))  # (nf, nlat_half, m, 2)
         Fs = jnp.transpose(fsouth, (0, 2, 1, 3))[:, ::-1]
-        Fs = Fs[:, self.nlat_half * 2 - ny :]  # drop duplicated equator if odd ny
+        Fs = Fs[:, self.nlat_half * 2 - self.grid.ny :]
         F = jnp.concatenate([Fn, Fs], axis=1)
-        Fc = (F[..., 0] + 1j * F[..., 1]).astype(
-            jnp.complex64 if self.dtype == jnp.float32 else jnp.complex128
-        )
-
-        # m=0 must be real; per-row truncation below Nyquist; shift phase
-        mm = np.arange(t + 1)
-        mmax = np.minimum(t, (self.nx - 1) // 2)  # strictly below Nyquist
-        mask = (mm[None, :] <= mmax[:, None]).astype(np.float64)
-        phase = np.exp(1j * mm[None, :] * self.x0[:, None]) * mask
-        Fc = Fc * jnp.asarray(phase, Fc.dtype)
-        Fc = Fc.at[:, :, 0].set(jnp.real(Fc[:, :, 0]).astype(Fc.dtype))
-
-        # irfft per group of equal-length rows; spec_m = nx * c_m / (2 - (m==0))
-        fac = np.where(mm == 0, 1.0, 0.5)
-        out = jnp.zeros((nf, grid.size), self.dtype)
-        offs = grid.row_offset
-        for nx in np.unique(self.nx):
-            rows = np.flatnonzero(self.nx == nx)
-            spec_len = int(nx) // 2 + 1
-            spec = jnp.zeros((nf, len(rows), spec_len), Fc.dtype)
-            ncopy = min(t + 1, spec_len)
-            spec = spec.at[:, :, :ncopy].set(
-                Fc[:, rows, :ncopy] * jnp.asarray(fac[:ncopy], Fc.dtype)
-            )
-            vals = jnp.fft.irfft(spec, n=int(nx), axis=-1) * int(nx)
-            # scatter rows back into grid order
-            idx = np.concatenate(
-                [np.arange(offs[r], offs[r] + nx) for r in rows]
-            )
-            out = out.at[:, idx].set(
-                vals.reshape(nf, -1).astype(self.dtype)
-            )
+        out = self._fourier_rows(F, nf)
         return out[0] if squeeze else out
+
+    def _fourier_rows(self, F, nf):
+        """F: (nf, ny, T+1, 2) per-row Fourier coefficients -> (nf, size).
+
+        Per-row-group real GEMM against the precomputed cos/-sin synthesis
+        matrix (Nyquist mask folded into the matrix), then a single gather
+        into grid point order (identity on regular grids).
+        """
+        t = self.truncation
+        Fre, Fim = F[..., 0], F[..., 1]
+        if self._phase is not None:  # shifted rows: rotate by exp(i m x0)
+            c, s = self._phase
+            Fre, Fim = Fre * c - Fim * s, Fre * s + Fim * c
+        G = jnp.concatenate([Fre, Fim], axis=-1)  # (nf, ny, 2(T+1))
+        parts = []
+        for rows, M in self._fourier_groups:
+            g = G[:, rows] if len(rows) != G.shape[1] else G
+            vals = jnp.einsum("nrk,kx->nrx", g, M,
+                              preferred_element_type=self.dtype)
+            parts.append(vals.reshape(nf, -1))
+        flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        if self._fourier_perm is not None:
+            flat = flat[:, self._fourier_perm]
+        return flat
 
     # ------------------------------------------------- invtrans w/ derivatives
     def _deriv_tables(self):
