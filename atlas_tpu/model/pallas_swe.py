@@ -228,10 +228,10 @@ def swe_stage_pallas(runs, amax, tjs, Sx, Sy, M, hp, up, vp, h, u, v, dt,
 class PallasShallowWater:
     """Pallas-kernel SWE stepper built from a ShallowWaterModel's tables.
 
-    Orchestrates the three RK3 stages at the Python level (one fused pallas
-    call each) with a small jitted periodic x-halo fill between stages; the
-    axon platform cannot compile pallas calls nested in outer jit/control
-    flow, so the stage chain is not itself jitted.
+    The full SSP-RK3 step (three fused stage kernels + the periodic x-halo
+    fills) compiles into ONE jitted program, and `run()` chains nsteps steps
+    in a single fori_loop — no per-stage dispatch. (Round-2 note about the
+    axon remote compiler hanging on pallas-under-jit no longer applies.)
     """
 
     def __init__(self, model):
@@ -345,9 +345,28 @@ class PallasShallowWater:
                                 jnp.asarray(ca, self.dtype),
                                 jnp.asarray(cb, self.dtype), interpret=it)
 
-    def step(self, huv, dt):
-        """One SSP-RK3 step on padded (h, u, v); three fused stage kernels."""
+    def _rk3(self, huv, dt):
         s1 = self._stage(huv, huv, dt, 0.0, 1.0)
         s2 = self._stage(huv, s1, dt, 0.75, 0.25)
         s3 = self._stage(huv, s2, dt, 1.0 / 3.0, 2.0 / 3.0)
         return s3
+
+    def step(self, huv, dt):
+        """One SSP-RK3 step on padded (h, u, v) — one jitted program
+        containing the three fused stage kernels."""
+        if getattr(self, "_step_jit", None) is None:
+            self._step_jit = jax.jit(self._rk3)
+        return self._step_jit(huv, jnp.asarray(dt, self.dtype))
+
+    def run(self, huv, dt, nsteps: int):
+        """nsteps SSP-RK3 steps chained in a single fori_loop program."""
+        if getattr(self, "_run_jit", None) is None:
+            @partial(jax.jit, static_argnums=2)
+            def _run(huv, dt, n):
+                def body(_, x):
+                    return self._rk3(x, dt)
+
+                return jax.lax.fori_loop(0, n, body, huv)
+
+            self._run_jit = _run
+        return self._run_jit(huv, jnp.asarray(dt, self.dtype), nsteps)

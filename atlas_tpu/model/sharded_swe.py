@@ -1,15 +1,24 @@
-"""Domain-decomposed shallow water: latitude bands over a device mesh.
+"""Domain-decomposed shallow water: the fused Pallas kernels under shard_map.
 
-The structured (nlev, ny, nxw) layout shards naturally over contiguous row
-bands (the reference's bands/equal-bands partitioners, SURVEY 2.4): each shard
-owns ny_loc rows plus one exchanged halo row per side, and every fvm shift
-operator works unchanged on the extended local block. Halo exchange is two
-`ppermute`s (north-going and south-going row slices) per RK stage — static
-neighbour communication on the ICI, overlapped by XLA with the interior
-compute.
+TPU design (the distributed flagship path):
+  * rows are split into POINT-balanced latitude bands
+    (partition/simple.py:balanced_row_starts — the reference balances points,
+    BandsPartitioner.cc:73, EqualRegionsPartitioner.cc:278-360), each shard
+    holding a (ny_blk, nxw_pad) owned block padded to a common row count;
+  * each RK3 stage runs the SAME fused Pallas stage kernel as the serial
+    model (model/pallas_swe.py) on the shard's owned rows — the fast path is
+    the distributed path, not a slow XLA fallback;
+  * halo exchange is two static `ppermute`s of the stacked (h, u, v)
+    boundary rows, issued BEFORE the interior kernel; only the two boundary
+    output rows depend on it, recomputed afterwards by a tiny 6-row XLA
+    stencil window. XLA's latency-hiding scheduler can thus overlap the ICI
+    transfer with the interior Pallas compute — the TPU analog of the
+    reference's nonblocking irecv/isend overlap
+    (parallel/HaloExchange.h:151-225, "halo exchange fully hidden").
 
-Validation: one step of the sharded model equals the serial model's step on
-the owned rows to roundoff.
+Validation: sharded steps equal the serial model's steps on the owned rows
+to roundoff (tests/test_sharded_swe.py), on any nparts including 1 (where the
+step time matches the serial Pallas stepper — no fallback path exists).
 """
 
 from __future__ import annotations
@@ -22,143 +31,165 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .shallow_water import ShallowWaterModel, _swe_tendencies
+from ..partition.simple import balanced_row_starts
+from ..util.constants import DEG2RAD
+from .shallow_water import GRAVITY, ShallowWaterModel, _swe_tendencies
+from .pallas_swe import pick_tjs, swe_stage_pallas
 
 
 class ShardedShallowWater:
-    def __init__(self, grid, nparts: int, dtype=jnp.float32, mesh: Mesh | None = None, axis_name: str = "bands"):
+    def __init__(self, grid, nparts: int, dtype=jnp.float32,
+                 mesh: Mesh | None = None, axis_name: str = "bands"):
         self.grid = grid
         self.nparts = int(nparts)
         self.axis_name = axis_name
         self.dtype = jnp.dtype(dtype)
-        self.serial = ShallowWaterModel(grid, dtype=dtype)
+        self.serial = ShallowWaterModel(grid, dtype=dtype, use_cache=True)
         s = self.serial.sfvm.shifts
         self.nxw = s.nxw
-        ny = s.ny
-        self.ny_loc = -(-ny // self.nparts)
-        self.ny_pad = self.ny_loc * self.nparts
-        self.ny = ny
+        self.ny = s.ny
+        self.nxw_pad = -(-s.nxw // 128) * 128
 
-        self._build_tables()
+        self.starts = balanced_row_starts(grid.nx, self.nparts, min_rows=2)
+        self.nyl = (self.starts[1:] - self.starts[:-1]).astype(np.int32)
+        nyl_max = int(self.nyl.max())
+
+        self._build_tables(nyl_max)
         if mesh is None:
             devices = np.array(jax.devices()[: self.nparts])
             mesh = Mesh(devices, (axis_name,))
         self.mesh = mesh
         self._sharding = NamedSharding(mesh, P(axis_name))
         self._tables_dev = None
+        self._step_fn = None
+        self._run_fn = None
 
     # ------------------------------------------------------------------ setup
-    def _build_tables(self):
-        """Per-shard tables with one dummy halo row top and bottom.
-
-        Shard p owns global rows [p*ny_loc, (p+1)*ny_loc); its extended table
-        block covers [own-1, own+1] with mask forced to 0 on the halo rows so
-        their (garbage) outputs never contribute.
-        """
-        base = dict(self.serial._tbl())
+    def _build_tables(self, nyl_max: int):
+        """Per-shard packed Pallas weights + 6-row boundary-window tables."""
         s = self.serial.sfvm.shifts
-        nyl = self.ny_loc
+        ny, nxw, nxw_pad = self.ny, self.nxw, self.nxw_pad
+        nparts = self.nparts
 
-        def pad_rows(a):
-            # (ny, ...) -> (ny_pad, ...)
-            pad = [(0, self.ny_pad - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-            return np.pad(np.asarray(a), pad)
+        # ---- packed stencil items, identical slot layout on every shard ----
+        items = [((0, 0, False), s.S_total_regular)]
+        if np.abs(s.S_total_pole).sum() > 0:
+            items.append(((0, 0, True), s.S_total_pole))
+        for k, S in s.keys_regular.items():
+            if k != (0, 0):
+                items.append(((k[0], k[1], False), S))
+        for k, S in s.keys_pole.items():
+            if k != (0, 0):
+                items.append(((k[0], k[1], True), S))
+        self.amax = amax = len(items)
+        self.tjs = tjs = pick_tjs(amax, nxw_pad, np.dtype(self.dtype).itemsize)
+        self.ny_blk = ny_blk = -(-nyl_max // tjs) * tjs
+        # one run covering all tiles: per-shard inactive slots carry zero
+        # weights (pole slots are nonzero only on the polar shards)
+        self.runs = ((0, ny_blk // tjs, tuple(it[0] for it in items)),)
 
-        def stack(a, zero_halo=False):
-            a = pad_rows(a)
-            blocks = []
-            for p in range(self.nparts):
-                lo = p * nyl - 1
-                hi = (p + 1) * nyl + 1
-                rows = np.clip(np.arange(lo, hi), 0, self.ny_pad - 1)
-                blk = a[rows].copy()
+        Sx = np.zeros((nparts, amax, ny_blk, nxw_pad), np.float64)
+        Sy = np.zeros_like(Sx)
+        M = np.zeros((nparts, 6, ny_blk, nxw_pad), np.float64)
+        Mg = np.zeros((6, ny, nxw), np.float64)
+        Mg[0, :, :] = 0.5 * DEG2RAD * s.metric_x * s.mask
+        Mg[1, :, :] = 0.5 * DEG2RAD * s.metric_y * s.mask
+        Mg[2, :, :] = 0.5 * DEG2RAD * s.metric_y / s.cos_lat * s.mask
+        Mg[3, :, :] = s.cos_lat
+        Mg[4, :, :] = self.serial.coriolis
+        Mg[5, :, :] = s.mask
+        for p in range(nparts):
+            lo, hi = self.starts[p], self.starts[p + 1]
+            n = hi - lo
+            for a, (_, S) in enumerate(items):
+                Sx[p, a, :n, :nxw] = S[lo:hi, :, 0]
+                Sy[p, a, :n, :nxw] = S[lo:hi, :, 1]
+            M[p, :, :n, :nxw] = Mg[:, lo:hi]
+
+        # ---- 6-row boundary windows [halo_n, own0, own1, own_last-1,
+        # own_last, halo_s]: global rows [lo-1, lo, lo+1, hi-2, hi-1, hi] ----
+        bnd = {"regular": {}, "pole": {}}
+
+        def window(a, zero_halo=False):
+            # a: (ny, ...) -> (nparts, 6, nxw_pad, ...)
+            out = np.zeros((nparts, 6) + (nxw_pad,) + a.shape[2:], np.float64)
+            for p in range(nparts):
+                lo, hi = self.starts[p], self.starts[p + 1]
+                rows = np.clip([lo - 1, lo, lo + 1, hi - 2, hi - 1, hi],
+                               0, ny - 1)
+                out[p, :, :nxw] = a[rows]
                 if zero_halo:
-                    blk[0] = 0
-                    blk[-1] = 0
-                blocks.append(blk)
-            return np.stack(blocks)  # (nparts, nyl+2, ...)
+                    out[p, 0] = 0.0
+                    out[p, 5] = 0.0
+            return out
 
-        t = {}
-        t["mask"] = stack(base["mask"], zero_halo=True)
-        for k in ("metric_x", "metric_y", "cos_lat", "inv_cos", "lat", "coriolis"):
-            if k in base:
-                t[k] = stack(base[k])
-        t["S_total_regular"] = stack(base["S_total_regular"], zero_halo=True)
-        t["S_total_pole"] = stack(base["S_total_pole"], zero_halo=True)
-        t["regular"] = {k: stack(v, zero_halo=True) for k, v in base["regular"].items()}
-        t["pole"] = {k: stack(v, zero_halo=True) for k, v in base["pole"].items()}
-        # x-halo column copies apply per shard on its own rows: remap global
-        # halo_rows to (shard, local row incl. offset 1)
-        hr = np.asarray(base["halo_rows"])
-        hd = np.asarray(base["halo_dst"])
-        hs = np.asarray(base["halo_src"])
-        # each shard fills the x-halo columns of its own rows AND of the two
-        # received halo rows (their ghost columns arrive stale)
+        for k, S in s.keys_regular.items():
+            if k != (0, 0):
+                bnd["regular"][k] = window(S, zero_halo=False)
+        for k, S in s.keys_pole.items():
+            if k != (0, 0):
+                bnd["pole"][k] = window(S, zero_halo=False)
+        bnd["S_total_regular"] = window(s.S_total_regular)
+        bnd["S_total_pole"] = window(s.S_total_pole)
+        bnd["metric_x"] = window(s.metric_x)
+        bnd["metric_y"] = window(s.metric_y)
+        bnd["cos_lat"] = np.maximum(window(s.cos_lat), 1e-30)
+        bnd["inv_cos"] = 1.0 / bnd["cos_lat"]
+        bnd["mask"] = window(s.mask)
+        bnd["coriolis"] = window(self.serial.coriolis)
+
+        # ---- per-shard periodic ghost-column fills (owned rows only) -------
+        hr, hd, hs = s.halo_rows, s.halo_dst, s.halo_src
         per_shard = []
-        for p in range(self.nparts):
-            lo = p * nyl - 1
-            hi = (p + 1) * nyl + 1
+        for p in range(nparts):
+            lo, hi = self.starts[p], self.starts[p + 1]
             sel = np.flatnonzero((hr >= lo) & (hr < hi))
             per_shard.append((hr[sel] - lo, hd[sel], hs[sel]))
         wmax = max(max(len(x[0]) for x in per_shard), 1)
-        # padding entries must NOT collide with real scatter targets (duplicate
-        # scatter indices have undefined winners): real destinations are ghost
-        # columns only, so an identity write to a real column (row 1, col L) is
-        # conflict-free
+        # padding entries are identity writes onto a real column: harmless
         Lcol = int(s.L)
-        rows_l = np.full((self.nparts, wmax), 1, dtype=np.int32)
-        dst_l = np.full((self.nparts, wmax), Lcol, dtype=np.int32)
-        src_l = np.full((self.nparts, wmax), Lcol, dtype=np.int32)
+        rows_l = np.zeros((nparts, wmax), np.int32)
+        dst_l = np.full((nparts, wmax), Lcol, np.int32)
+        src_l = np.full((nparts, wmax), Lcol, np.int32)
         for p, (r_, d_, s_) in enumerate(per_shard):
             rows_l[p, : len(r_)] = r_
             dst_l[p, : len(d_)] = d_
             src_l[p, : len(s_)] = s_
-        # padding entries: copy row 0 col 0 onto itself (harmless)
-        t["xhalo_rows"] = rows_l
-        t["xhalo_dst"] = dst_l
-        t["xhalo_src"] = src_l
-        self._tables_host = t
+
+        self._tables_host = {
+            "Sx": Sx, "Sy": Sy, "M": M, "bnd": bnd,
+            "xhalo_rows": rows_l, "xhalo_dst": dst_l, "xhalo_src": src_l,
+            "nyl": self.nyl.reshape(nparts, 1),
+        }
 
     def _tbl(self):
         if self._tables_dev is None:
-            d = {}
-            for k, v in self._tables_host.items():
-                if isinstance(v, dict):
-                    d[k] = {
-                        kk: jax.device_put(
-                            jnp.asarray(vv, self.dtype if vv.dtype.kind == "f" else None),
-                            self._sharding,
-                        )
-                        for kk, vv in v.items()
-                    }
-                else:
-                    d[k] = jax.device_put(
-                        jnp.asarray(v, self.dtype if v.dtype.kind == "f" else None),
-                        self._sharding,
-                    )
-            self._tables_dev = d
+            def put(v):
+                arr = jnp.asarray(
+                    v, self.dtype if np.asarray(v).dtype.kind == "f" else None)
+                return jax.device_put(arr, self._sharding)
+
+            self._tables_dev = jax.tree_util.tree_map(put, self._tables_host)
         return self._tables_dev
 
     # ------------------------------------------------------------- field i/o
-    def scatter(self, f_pad):
-        """Serial (nlev, ny, nxw) -> sharded (nparts, nlev, ny_loc, nxw)."""
-        f_pad = np.asarray(f_pad)
-        nlev = f_pad.shape[0]
-        out = np.zeros((self.nparts, nlev, self.ny_loc, self.nxw), f_pad.dtype)
+    def scatter(self, f):
+        """Serial (ny, nxw) or (nlev, ny, nxw) -> sharded (nparts, ny_blk, nxw_pad)."""
+        f = np.asarray(f)
+        if f.ndim == 3:
+            f = f[0]
+        out = np.zeros((self.nparts, self.ny_blk, self.nxw_pad), f.dtype)
         for p in range(self.nparts):
-            lo = p * self.ny_loc
-            hi = min((p + 1) * self.ny_loc, self.ny)
-            out[p, :, : hi - lo] = f_pad[:, lo:hi]
-        return jax.device_put(jnp.asarray(out), self._sharding)
+            lo, hi = self.starts[p], self.starts[p + 1]
+            out[p, : hi - lo, : self.nxw] = f[lo:hi]
+        return jax.device_put(jnp.asarray(out, self.dtype), self._sharding)
 
     def gather(self, f_sharded):
         f = np.asarray(f_sharded)
-        nlev = f.shape[1]
-        out = np.zeros((nlev, self.ny, self.nxw), f.dtype)
+        out = np.zeros((1, self.ny, self.nxw), f.dtype)
         for p in range(self.nparts):
-            lo = p * self.ny_loc
-            hi = min((p + 1) * self.ny_loc, self.ny)
-            out[:, lo:hi] = f[p, :, : hi - lo]
+            lo, hi = self.starts[p], self.starts[p + 1]
+            out[0, lo:hi] = f[p, : hi - lo, : self.nxw]
         return out
 
     def scatter_state(self, state):
@@ -168,66 +199,114 @@ class ShardedShallowWater:
         return {k: self.gather(v) for k, v in state.items()}
 
     # ---------------------------------------------------------------- dynamics
-    def _compiled_step(self, state_treedef_keys):
-        if getattr(self, "_step_fn", None) is not None:
-            return self._step_fn
+    def _interpret(self):
+        return jax.default_backend() not in ("tpu", "axon")
+
+    def _compiled(self, nsteps: int | None):
         t = self._tbl()
         ax = self.axis_name
         nparts = self.nparts
         spec = P(self.axis_name)
-
-        def tree_spec(x):
-            return jax.tree_util.tree_map(lambda _: spec, x)
-
-        state_spec = {k: spec for k in state_treedef_keys}
+        state_spec = {k: spec for k in ("h", "u", "v")}
+        cfg = (ax, nparts, self.runs, self.amax, self.tjs, self._interpret())
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(tree_spec(t), state_spec, P()),
+            in_specs=(jax.tree_util.tree_map(lambda _: spec, t), state_spec,
+                      P()),
             out_specs=state_spec,
+            check_vma=False,
         )
         def run(tl, st, dt):
             tl = jax.tree_util.tree_map(lambda a: a[0], tl)
-            st = {k: v[0] for k, v in st.items()}
-            out = _sharded_rk3(tl, st, dt, ax, nparts)
-            return {k: v[None] for k, v in out.items()}
+            huv = tuple(st[k][0] for k in ("h", "u", "v"))
+            if nsteps is None:
+                huv = _sharded_rk3(tl, huv, dt, *cfg)
+            else:
+                def body(_, x):
+                    return _sharded_rk3(tl, x, dt, *cfg)
 
-        self._step_fn = jax.jit(run)
-        return self._step_fn
+                huv = jax.lax.fori_loop(0, nsteps, body, huv)
+            return {k: v[None] for k, v in zip(("h", "u", "v"), huv)}
+
+        return jax.jit(run)
 
     def step(self, state, dt: float):
-        fn = self._compiled_step(tuple(state.keys()))
-        return fn(self._tbl(), state, jnp.asarray(dt, self.dtype))
+        if self._step_fn is None:
+            self._step_fn = self._compiled(None)
+        return self._step_fn(self._tbl(), state, jnp.asarray(dt, self.dtype))
+
+    def run(self, state, dt: float, nsteps: int):
+        """nsteps fused steps in one jitted program (fori_loop chain)."""
+        if self._run_fn is None or self._run_fn[0] != nsteps:
+            self._run_fn = (nsteps, self._compiled(nsteps))
+        return self._run_fn[1](self._tbl(), state,
+                               jnp.asarray(dt, self.dtype))
 
 
-def _exchange_row_halos(f, ax, nparts):
-    """(nlev, ny_loc, nxw) -> (nlev, ny_loc+2, nxw) with neighbour rows."""
-    down = [(p, p + 1) for p in range(nparts - 1)]  # towards south shard
-    up = [(p, p - 1) for p in range(1, nparts)]
-    from_north = jax.lax.ppermute(f[:, -1:], ax, down)  # my north halo row
-    from_south = jax.lax.ppermute(f[:, :1], ax, up)
-    return jnp.concatenate([from_north, f, from_south], axis=1)
+def _exchange_boundary_rows(huv, nyl, ax, nparts):
+    """Stacked boundary-row ppermutes: returns (halo_north, halo_south),
+    each (3, nxw_pad) rows [h, u, v] from the row-adjacent shards."""
+    north = jnp.stack([f[0] for f in huv])
+    south = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(f, nyl - 1, 1, 0)[0] for f in huv])
+    to_south = [(p, p + 1) for p in range(nparts - 1)]
+    to_north = [(p, p - 1) for p in range(1, nparts)]
+    halo_n = jax.lax.ppermute(south, ax, to_south)
+    halo_s = jax.lax.ppermute(north, ax, to_north)
+    return halo_n, halo_s
 
 
-def _apply_xhalo(tl, f_ext):
+def _apply_xhalo(tl, f):
     rows = tl["xhalo_rows"]
-    return f_ext.at[:, rows, tl["xhalo_dst"]].set(f_ext[:, rows, tl["xhalo_src"]])
+    return f.at[rows, tl["xhalo_dst"]].set(f[rows, tl["xhalo_src"]])
 
 
-def _sharded_tendencies(tl, st, ax, nparts):
-    ext = {k: _apply_xhalo(tl, _exchange_row_halos(v, ax, nparts)) for k, v in st.items()}
-    tend = _swe_tendencies(tl, ext)
-    return {k: v[:, 1:-1] for k, v in tend.items()}
+def _sharded_stage(tl, prev, cur, dt, ca, cb, ax, nparts, runs, amax, tjs,
+                   interpret):
+    """One fused RK stage: ppermute first, interior Pallas kernel, then the
+    two boundary rows recomputed from the received halos (overlap-friendly:
+    only the boundary recompute depends on the exchange)."""
+    dtype = cur[0].dtype
+    nyl = tl["nyl"][0]
+    cur = tuple(_apply_xhalo(tl, f) for f in cur)
+    halo_n, halo_s = _exchange_boundary_rows(cur, nyl, ax, nparts)
+
+    # interior: the fused serial stage kernel on the owned block (boundary
+    # output rows are wrong — they miss the halo contributions — and are
+    # overwritten below)
+    oi = swe_stage_pallas(runs, amax, tjs, tl["Sx"], tl["Sy"], tl["M"],
+                          *prev, *cur, dt, jnp.asarray(ca, dtype),
+                          jnp.asarray(cb, dtype), interpret=interpret)
+
+    # boundary: 6-row window [halo_n, own0, own1, own_l-1, own_l, halo_s];
+    # rows 1 and 4 of the window are computed exactly, the rest discarded
+    win = {}
+    for i, name in enumerate(("h", "u", "v")):
+        f = cur[i]
+        last2 = jax.lax.dynamic_slice_in_dim(f, nyl - 2, 2, 0)
+        win[name] = jnp.concatenate(
+            [halo_n[i][None], f[0:2], last2, halo_s[i][None]], axis=0)[None]
+    tend = _swe_tendencies(tl["bnd"], win)
+
+    out = []
+    for i, name in enumerate(("h", "u", "v")):
+        pv, cu = prev[i], cur[i]
+        last_p = jax.lax.dynamic_slice_in_dim(pv, nyl - 1, 1, 0)
+        last_c = jax.lax.dynamic_slice_in_dim(cu, nyl - 1, 1, 0)
+        row0 = ca * pv[0] + cb * (cu[0] + dt * tend[name][0, 1])
+        rowl = ca * last_p + cb * (last_c + dt * tend[name][0, 4][None])
+        o = oi[i].at[0].set(row0)
+        o = jax.lax.dynamic_update_slice_in_dim(o, rowl, nyl - 1, 0)
+        out.append(o)
+    return tuple(out)
 
 
-def _sharded_rk3(tl, st, dt, ax, nparts):
-    def euler(s):
-        k = _sharded_tendencies(tl, s, ax, nparts)
-        return {n: s[n] + dt * k[n] for n in s}
-
-    one = jnp.asarray(1.0, dt.dtype)
-    s1 = euler(st)
-    s2 = {n: 0.75 * st[n] + 0.25 * euler(s1)[n] for n in st}
-    s3 = {n: st[n] / 3 + 2 * euler(s2)[n] / 3 for n in st}
+def _sharded_rk3(tl, huv, dt, ax, nparts, runs, amax, tjs, interpret):
+    stage = partial(_sharded_stage, tl, ax=ax, nparts=nparts, runs=runs,
+                    amax=amax, tjs=tjs, interpret=interpret)
+    s1 = stage(huv, huv, dt=dt, ca=0.0, cb=1.0)
+    s2 = stage(huv, s1, dt=dt, ca=0.75, cb=0.25)
+    s3 = stage(huv, s2, dt=dt, ca=1.0 / 3.0, cb=2.0 / 3.0)
     return s3

@@ -57,6 +57,52 @@ class RegularBandsPartitioner(Partitioner):
         return np.repeat(row_part, grid.nx).astype(np.int32)
 
 
+def balanced_row_starts(nx_rows, nb_parts: int, min_rows: int = 1) -> np.ndarray:
+    """Row-aligned bands with near-equal POINT counts: (nb_parts+1,) starts.
+
+    The reference splits by point count, not row count (BandsPartitioner.cc:73
+    uses nb_pts; EqualRegionsPartitioner.cc:278-360 balances points per ring
+    collar). On reduced grids equal ROW counts skew points per part by the
+    row-length ratio (up to ~6x pole vs equator on octahedral grids); this
+    picks the row boundary nearest each ideal cumulative-point split, keeping
+    row contiguity for the structured (ny, nxw) layout.
+    """
+    nx_rows = np.asarray(nx_rows, dtype=np.int64)
+    ny = len(nx_rows)
+    if nb_parts * min_rows > ny:
+        raise ValueError(
+            f"cannot split {ny} rows into {nb_parts} bands of >= {min_rows} rows"
+        )
+    cum = np.concatenate([[0], np.cumsum(nx_rows)])  # (ny+1,)
+    total = cum[-1]
+    starts = np.zeros(nb_parts + 1, dtype=np.int64)
+    starts[nb_parts] = ny
+    for p in range(1, nb_parts):
+        ideal = total * p / nb_parts
+        j = int(np.argmin(np.abs(cum - ideal)))
+        # keep at least min_rows rows for every part on either side
+        lo = starts[p - 1] + min_rows
+        hi = ny - (nb_parts - p) * min_rows
+        starts[p] = min(max(j, lo), hi)
+    return starts
+
+
+@partitioner_factory.register("balanced_bands")
+class BalancedBandsPartitioner(Partitioner):
+    """Row-aligned latitude bands balanced by point count (see
+    balanced_row_starts): the partitioner used by the band-sharded TPU models,
+    combining regular_bands' row contiguity with bands' point balance."""
+
+    type = "balanced_bands"
+
+    def partition(self, grid) -> np.ndarray:
+        starts = balanced_row_starts(grid.nx, self.nb_parts)
+        row_part = np.zeros(grid.ny, dtype=np.int32)
+        for p in range(self.nb_parts):
+            row_part[starts[p] : starts[p + 1]] = p
+        return np.repeat(row_part, grid.nx).astype(np.int32)
+
+
 @partitioner_factory.register("checkerboard")
 class CheckerboardPartitioner(Partitioner):
     """Regular 2-D blocks over regular grids (CheckerboardPartitioner.cc:286).

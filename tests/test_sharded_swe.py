@@ -1,4 +1,9 @@
-"""Band-sharded shallow water vs serial (8 virtual devices)."""
+"""Band-sharded shallow water (fused Pallas stages under shard_map) vs serial.
+
+Runs on 8 virtual CPU devices; the Pallas stage kernel runs in interpret mode
+(same traced math as on-chip). Checks: sharded == serial to roundoff, point-
+balanced bands, stability over multiple steps, scatter/gather roundtrip.
+"""
 
 import numpy as np
 import pytest
@@ -8,9 +13,10 @@ import jax
 from atlas_tpu import Grid
 from atlas_tpu.model import ShallowWaterModel
 from atlas_tpu.model.sharded_swe import ShardedShallowWater
+from atlas_tpu.partition.simple import balanced_row_starts
 
 
-@pytest.mark.parametrize("nparts", [4, 8])
+@pytest.mark.parametrize("nparts", [1, 4, 8])
 def test_sharded_step_matches_serial(nparts):
     assert len(jax.devices()) >= nparts
     grid = Grid("O16")
@@ -28,7 +34,7 @@ def test_sharded_step_matches_serial(nparts):
         a = np.asarray(s1[k])[0]
         b = s1_sh[k][0]
         scale = np.abs(a[m]).max()
-        assert np.abs(a - b)[m].max() < 1e-12 * max(scale, 1.0)
+        assert np.abs(a - b)[m].max() < 1e-11 * max(scale, 1.0)
 
 
 def test_sharded_multi_step_stability():
@@ -47,10 +53,54 @@ def test_sharded_multi_step_stability():
     assert np.abs(out["h"][0][m] - h0[m]).max() / np.abs(h0[m]).max() < 1e-3
 
 
+def test_sharded_run_chain_matches_stepwise():
+    grid = Grid("O16")
+    serial = ShallowWaterModel(grid, dtype=np.float64)
+    sh = ShardedShallowWater(grid, nparts=4, dtype=np.float64)
+    s0 = serial.initial_state_williamson2()
+    dt = serial.suggested_dt()
+    s = sh.scatter_state({k: np.asarray(v) for k, v in s0.items()})
+    chained = sh.gather_state(sh.run(s, dt, 3))
+    stepwise = s
+    for _ in range(3):
+        stepwise = sh.step(stepwise, dt)
+    stepwise = sh.gather_state(stepwise)
+    for k in ("h", "u", "v"):
+        np.testing.assert_allclose(chained[k], stepwise[k], rtol=0, atol=1e-9)
+
+
 def test_scatter_gather_roundtrip():
     grid = Grid("O16")
     sh = ShardedShallowWater(grid, nparts=4, dtype=np.float64)
     rng = np.random.default_rng(0)
-    f = rng.normal(size=(2, sh.ny, sh.nxw))
+    f = rng.normal(size=(1, sh.ny, sh.nxw))
     back = sh.gather(sh.scatter(f))
     np.testing.assert_array_equal(back, f)
+
+
+def test_balanced_row_starts_point_balance():
+    """Reference rule: split by POINTS not rows (BandsPartitioner.cc:73).
+    On O320/8 the max/mean points per shard must be within 10%."""
+    grid = Grid("O320")
+    starts = balanced_row_starts(grid.nx, 8)
+    pts = np.array([grid.nx[starts[p]:starts[p + 1]].sum() for p in range(8)])
+    assert starts[0] == 0 and starts[-1] == grid.ny
+    assert (np.diff(starts) >= 1).all()
+    assert pts.max() / pts.mean() <= 1.1
+    # equal ROW bands would be far worse on the reduced grid
+    rows_equal = np.linspace(0, grid.ny, 9).astype(int)
+    pts_rows = np.array(
+        [grid.nx[rows_equal[p]:rows_equal[p + 1]].sum() for p in range(8)])
+    assert pts_rows.max() / pts_rows.mean() > 1.3
+
+
+def test_balanced_bands_partitioner_registered():
+    from atlas_tpu.partition import Partitioner
+
+    grid = Grid("O32")
+    part = Partitioner("balanced_bands", nb_parts=4).partition(grid)
+    assert part.shape == (grid.size,)
+    counts = np.bincount(part, minlength=4)
+    assert counts.max() / counts.mean() <= 1.15
+    # row-aligned: partition id is non-decreasing in grid order
+    assert (np.diff(part) >= 0).all()
