@@ -13,11 +13,26 @@ TPU design: the whole stencil search is vectorized host-side into static
 the reference's matrix-free mode, StructuredInterpolation2D.tcc:239-247).
 Periodicity is wrapped into the indices; pole rows clamp the stencil like the
 reference's halo rows.
+
+Fast path (structured -> uniform-row structured, e.g. O320 -> L1440x721): the
+tensor-product stencil is SEPARABLE — every target row reads the same k source
+rows at per-row affine column offsets (the row-coherence the reference's
+matrix-free kernel exploits, StructuredInterpolation2D.tcc:239-378). Execution
+factors into two passes: (1) resample each SOURCE row once to the shared
+target longitudes (per-row column gather in a channels-minor layout), then
+(2) combine k consecutive resampled rows per target row with the y-Lagrange
+weights (contiguous row gathers). Identical weights to the flat path, ~k x
+less gather traffic, and O(ny*nxt) setup instead of O(ntgt*k^2).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from ..util.config import Config
 from .interpolation import Method, interpolation_factory
@@ -36,18 +51,74 @@ def _lagrange_weights(xs: np.ndarray, x: np.ndarray) -> np.ndarray:
     return w
 
 
+@dataclass
+class _Separable:
+    """Host-side setup product for the separable fast path."""
+
+    ny: int
+    nxw: int
+    nxt: int
+    nyt: int
+    pad_gather: np.ndarray  # (ny, nxw) -> src point index (periodic wrap)
+    idx1: np.ndarray  # (ny, nxt, k) column index into the padded row
+    wx: np.ndarray  # (ny, nxt, k) x-Lagrange weights
+    wx_lin: np.ndarray | None  # quasicubic: linear x weights for outer rows
+    rows: np.ndarray  # (nyt, k) source rows per target row
+    wy: np.ndarray  # (nyt, k)
+    # windowed-MXU pass-1 product (None when disabled): per (source row,
+    # B-wide target block) a contiguous W-wide source window and a dense
+    # (B, W) banded weight matrix — pass 1 becomes batched MXU matmuls.
+    win_start: np.ndarray | None = None  # (ny, nblk) window start col
+    Wt: np.ndarray | None = None  # (ny, nblk, B, W)
+    Wt_lin: np.ndarray | None = None  # quasicubic linear variant
+
+
 class StructuredInterpolation2D(Method):
-    def __init__(self, src_grid, tgt_lonlat: np.ndarray, kind: str = "cubic"):
+    def __init__(self, src_grid, target, kind: str = "cubic"):
         from ..grid.structured import StructuredGrid
 
         if not isinstance(src_grid, StructuredGrid):
             raise TypeError("source must be a structured grid")
         self.src_grid = src_grid
         self.kind = kind
-        k = {"linear": 2, "cubic": 4, "quasicubic": 4}[kind]
-        tgt = np.asarray(tgt_lonlat, dtype=np.float64).reshape(-1, 2)
+        self.k = {"linear": 2, "cubic": 4, "quasicubic": 4}[kind]
         self.nsrc = src_grid.size
-        self._build(src_grid, tgt, k)
+        self._idx = None
+        self._w = None
+        self._sep = None
+        self._sep_dev = {}
+        tgt_grid = target if isinstance(target, StructuredGrid) else None
+        if tgt_grid is not None and self._separable_ok(src_grid, tgt_grid):
+            self._tgt_grid = tgt_grid
+            self.ntgt = tgt_grid.size
+            self._sep = self._build_separable(src_grid, tgt_grid, self.k)
+        else:
+            self._tgt_grid = tgt_grid
+            pts = _target_points(target)
+            self._build(src_grid, np.asarray(pts, np.float64).reshape(-1, 2),
+                        self.k)
+
+    # ----------------------------------------------------- flat (idx, w) path
+    @property
+    def idx(self) -> np.ndarray:
+        if self._idx is None:  # lazy: only needed for matrix()/cache export
+            pts = self._tgt_grid.lonlat()
+            self._build(self.src_grid, pts, self.k)
+        return self._idx
+
+    @idx.setter
+    def idx(self, v):
+        self._idx = v
+
+    @property
+    def w(self) -> np.ndarray:
+        if self._w is None:
+            _ = self.idx
+        return self._w
+
+    @w.setter
+    def w(self, v):
+        self._w = v
 
     def _build(self, grid, tgt, k):
         ntgt = len(tgt)
@@ -114,21 +185,266 @@ class StructuredInterpolation2D(Method):
         self.idx = idx.reshape(ntgt, k * k).astype(np.int32)
         self.w = w.reshape(ntgt, k * k)
         self.rows = rows
+        self.ntgt = ntgt
+
+    # ------------------------------------------------- separable fast path
+    @staticmethod
+    def _separable_ok(src, tgt) -> bool:
+        return (
+            src.periodic_x
+            and src.projection.identity
+            and tgt.projection.identity
+            and src.ny >= 4
+            and tgt.ny >= 1
+            and bool(np.all(tgt.nx == tgt.nx[0]))
+            and bool(np.all(tgt.xmin == tgt.xmin[0]))
+            and bool(np.all(tgt.dx == tgt.dx[0]))
+        )
+
+    def _build_separable(self, grid, tgt, k) -> _Separable:
+        ny = grid.ny
+        nxt = int(tgt.nx[0])
+        nyt = tgt.ny
+        lon_t = (tgt.xmin[0] + np.arange(nxt) * tgt.dx[0]) % 360.0
+        lat_t = tgt.y
+
+        # pass 2: k consecutive source rows per target row (same rule as the
+        # flat path: stencil centered on the rows bracketing the latitude)
+        y = grid.y
+        jsouth = np.searchsorted(-y, -lat_t, side="right")
+        j0 = np.clip(jsouth - k // 2, 0, ny - k)
+        rows = j0[:, None] + np.arange(k)[None, :]  # (nyt, k)
+        wy = _lagrange_weights(y[rows], lat_t)
+
+        # pass 1: per-source-row x stencil at the shared target longitudes
+        fi = (lon_t[None, :] - grid.xmin[:, None]) / grid.dx[:, None]  # (ny,nxt)
+        i0 = np.floor(fi).astype(np.int64) - (k // 2 - 1)
+        cols = i0[:, :, None] + np.arange(k)[None, None, :]  # (ny, nxt, k)
+        wx = _lagrange_weights(
+            cols.reshape(-1, k).astype(np.float64), fi.reshape(-1)
+        ).reshape(ny, nxt, k)
+        wx_lin = None
+        if self.kind == "quasicubic":
+            a = fi - np.floor(fi)
+            wx_lin = np.zeros_like(wx)
+            wx_lin[..., k // 2 - 1] = 1.0 - a
+            wx_lin[..., k // 2] = a
+
+        # padded source layout with periodic halo columns
+        L = max(0, int(-cols.min()))
+        R = max(0, int((cols - grid.nx[:, None, None]).max()) + 1)
+        nxw = grid.nxmax + L + R
+        sep = _Separable(
+            ny=ny, nxw=int(nxw), nxt=nxt, nyt=nyt,
+            pad_gather=None,
+            idx1=(cols + L).astype(np.int32),
+            wx=wx, wx_lin=wx_lin,
+            rows=rows.astype(np.int32), wy=wy,
+        )
+        self._add_windowed(grid, sep, cols, k, L, R)
+        # pad_gather built against the FINAL nxw (windowing may widen it)
+        c = np.arange(sep.nxw)[None, :] - L
+        pad_gather = grid.row_offset[:-1, None] + np.mod(c, grid.nx[:, None])
+        sep.pad_gather = pad_gather.astype(np.int32)
+        return sep
+
+    def _add_windowed(self, grid, sep, cols, k, L, R):
+        """Windowed-MXU pass-1 product: XLA's elementwise gather runs at a few
+        ns per 256-byte slice, so the column gather is restructured into ~B x
+        fewer CONTIGUOUS W-wide window slices contracted against dense banded
+        (B, W) weight blocks on the MXU (zero weights cover the band edges)."""
+        B = 128
+        ny, nxt = sep.ny, sep.nxt
+        nblk = -(-nxt // B)
+        # window per (row, block): cols are monotone in the target column
+        it_first = np.minimum(np.arange(nblk) * B, nxt - 1)
+        it_last = np.minimum(it_first + B - 1, nxt - 1)
+        start = cols[:, it_first, 0]  # (ny, nblk) unpadded col space
+        end = cols[:, it_last, k - 1]
+        W = int((end - start).max()) + 1
+        W = max(128, -(-W // 128) * 128)
+        nxw = max(sep.nxw, W)
+        if W > 1024 or ny * nblk * B * W * 4 > 700e6:
+            return  # weight tensor too large: keep the gather path
+        start = np.clip(start + L, 0, nxw - W)
+        # offsets of every stencil tap inside its block window
+        offs = sep.idx1 - start[:, (np.minimum(np.arange(nxt), nxt - 1)) // B][
+            :, :, None
+        ]  # (ny, nxt, k)
+        assert offs.min() >= 0 and offs.max() < W, "window overflow"
+
+        def build(weights):
+            # f64 host-side; cast to the field dtype when moved to device
+            Wt = np.zeros((ny, nblk, B, W))
+            jj = np.repeat(np.arange(ny), nxt * k).reshape(ny, nxt, k)
+            it = np.broadcast_to(np.arange(nxt)[None, :, None], (ny, nxt, k))
+            np.add.at(Wt, (jj, it // B, it % B, offs), weights)
+            return Wt
+
+        sep.win_start = start.astype(np.int32)
+        sep.Wt = build(sep.wx)
+        if sep.wx_lin is not None:
+            sep.Wt_lin = build(sep.wx_lin)
+        sep.nxw = int(nxw)
+
+    def _sep_tables(self, dtype):
+        key = jnp.dtype(dtype).name
+        if key not in self._sep_dev:
+            s = self._sep
+            t = {
+                "pad_gather": jnp.asarray(s.pad_gather),
+                "idx1": jnp.asarray(s.idx1),
+                "wx": jnp.asarray(s.wx, dtype),
+                "wx_lin": None if s.wx_lin is None else jnp.asarray(s.wx_lin, dtype),
+                "rows": jnp.asarray(s.rows),
+                "wy": jnp.asarray(s.wy, dtype),
+            }
+            if s.Wt is not None:
+                t.update(
+                    win_start=jnp.asarray(s.win_start),
+                    Wt=jnp.asarray(s.Wt, dtype),
+                    Wt_lin=None if s.Wt_lin is None else jnp.asarray(s.Wt_lin, dtype),
+                )
+            self._sep_dev[key] = t
+        return self._sep_dev[key]
+
+    def execute(self, field):
+        if self._sep is None:
+            return super().execute(field)
+        field = jnp.asarray(field)
+        lead = field.shape[:1]
+        trail = field.shape[1:]
+        f2 = field.reshape(lead + (-1,)) if trail else field[:, None]
+        t = self._sep_tables(f2.dtype)
+        s = self._sep
+        if s.Wt is not None:
+            if self.kind == "quasicubic":
+                out = _apply_windowed_quasi(
+                    t["pad_gather"], t["win_start"], t["Wt"], t["Wt_lin"],
+                    t["rows"], t["wy"], s.nxt, f2)
+            else:
+                out = _apply_windowed(
+                    t["pad_gather"], t["win_start"], t["Wt"],
+                    t["rows"], t["wy"], s.nxt, f2)
+        elif self.kind == "quasicubic":
+            out = _apply_separable_quasi(
+                t["pad_gather"], t["idx1"], t["wx"], t["wx_lin"],
+                t["rows"], t["wy"], f2)
+        else:
+            out = _apply_separable(
+                t["pad_gather"], t["idx1"], t["wx"], t["rows"], t["wy"], f2)
+        return out.reshape((self.ntgt,) + trail)
+
+    def execute_adjoint(self, field):
+        if self._sep is None:
+            return super().execute_adjoint(field)
+        field = jnp.asarray(field)
+        prim = jax.ShapeDtypeStruct((self.nsrc,) + field.shape[1:], field.dtype)
+        out, = jax.linear_transpose(self.execute, prim)(field)
+        return out
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _windowed_pass1(pad_gather, win_start, Wt, nxt, field):
+    """Pass 1 of the windowed-MXU path: flat field -> (ny, nxt, nch).
+
+    Builds the periodic padded row layout with ONE row gather (measured
+    faster on TPU than slice+pad+scatter composition), then contracts
+    contiguous W-wide windows against dense banded (B, W) weight blocks on
+    the MXU.
+    """
+    ny, nblk, B, W = Wt.shape
+    nch = field.shape[-1]
+    fpad = field[pad_gather]  # (ny, nxw, nch), halos wrapped in the indices
+    zero = jnp.zeros((), win_start.dtype)
+
+    def row_windows(frow, srow):  # (nxw, nch), (nblk,) -> (nblk, W, nch)
+        return jax.vmap(
+            lambda st: jax.lax.dynamic_slice(frow, (st, zero), (W, nch))
+        )(srow)
+
+    win = jax.vmap(row_windows)(fpad, win_start)  # (ny, nblk, W, nch)
+    # HIGHEST: TPU default matmul precision is bf16, which would degrade the
+    # interpolation weights to ~1e-3 relative accuracy
+    tmp = jnp.einsum("jbiw,jbwl->jbil", Wt, win,
+                     preferred_element_type=Wt.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    return tmp.reshape(ny, nblk * B, nch)[:, :nxt]
+
+
+def _apply_windowed(pad_gather, win_start, Wt, rows, wy, nxt, field):
+    tmp = _windowed_pass1(pad_gather, win_start, Wt, nxt, field)
+    return _pass2(tmp, rows, wy)
+
+
+def _apply_windowed_quasi(pad_gather, win_start, Wt, Wt_lin, rows, wy, nxt,
+                          field):
+    tmp_c = _windowed_pass1(pad_gather, win_start, Wt, nxt, field)
+    tmp_l = _windowed_pass1(pad_gather, win_start, Wt_lin, nxt, field)
+    k = wy.shape[1]
+    inner = jnp.zeros((k,), wy.dtype).at[1:-1].set(1.0)
+    return _pass2(tmp_c, rows, wy * inner[None, :]) + _pass2(
+        tmp_l, rows, wy * (1.0 - inner)[None, :])
+
+
+@jax.jit
+def _pass2(tmp, rows, wy):
+    """(ny, nxt, nch) row-resampled values -> (ntgt, nch) via y-combine."""
+    sel = tmp[rows]  # (nyt, k, nxt, nch)
+    out = (sel * wy[..., None, None]).sum(axis=1)
+    return out.reshape(-1, out.shape[-1])
+
+
+@jax.jit
+def _apply_separable(pad_gather, idx1, wx, rows, wy, field):
+    """field (nsrc, nch) -> (ntgt, nch): x-resample rows, then y-combine."""
+    ny, nxt, k = idx1.shape
+    fpad = field[pad_gather]  # (ny, nxw, nch)
+    vals = jnp.take_along_axis(
+        fpad, idx1.reshape(ny, nxt * k)[:, :, None], axis=1
+    ).reshape(ny, nxt, k, -1)
+    tmp = (vals * wx[..., None]).sum(axis=2)  # (ny, nxt, nch)
+    sel = tmp[rows]  # (nyt, k, nxt, nch)
+    out = (sel * wy[..., None, None]).sum(axis=1)  # (nyt, nxt, nch)
+    return out.reshape(-1, out.shape[-1])
+
+
+@jax.jit
+def _apply_separable_quasi(pad_gather, idx1, wx, wx_lin, rows, wy, field):
+    """Quasicubic: cubic x-resample feeds the inner stencil rows, linear the
+    outer ones (reference QuasiCubicHorizontalKernel 12-point stencil)."""
+    ny, nxt, k = idx1.shape
+    fpad = field[pad_gather]
+    vals = jnp.take_along_axis(
+        fpad, idx1.reshape(ny, nxt * k)[:, :, None], axis=1
+    ).reshape(ny, nxt, k, -1)
+    tmp_c = (vals * wx[..., None]).sum(axis=2)
+    tmp_l = (vals * wx_lin[..., None]).sum(axis=2)
+    inner = jnp.zeros((k,), wy.dtype).at[1:-1].set(1.0)
+    wy_c = wy * inner[None, :]
+    wy_l = wy * (1.0 - inner)[None, :]
+    out = (tmp_c[rows] * wy_c[..., None, None]).sum(axis=1) + (
+        tmp_l[rows] * wy_l[..., None, None]
+    ).sum(axis=1)
+    return out.reshape(-1, out.shape[-1])
 
 
 @interpolation_factory.register("structured-bilinear")
 def _bilinear(config, source, target):
-    return StructuredInterpolation2D(source, _target_points(target), kind="linear")
+    return StructuredInterpolation2D(source, target, kind="linear")
 
 
 @interpolation_factory.register("structured-bicubic")
 def _bicubic(config, source, target):
-    return StructuredInterpolation2D(source, _target_points(target), kind="cubic")
+    return StructuredInterpolation2D(source, target, kind="cubic")
 
 
 @interpolation_factory.register("structured-biquasicubic")
 def _biquasicubic(config, source, target):
-    return StructuredInterpolation2D(source, _target_points(target), kind="quasicubic")
+    return StructuredInterpolation2D(source, target, kind="quasicubic")
 
 
 def _target_points(target):
@@ -143,4 +459,4 @@ def _target_points(target):
 def _regional_linear(config, source, target):
     """Bilinear on a regional (projected, non-periodic) grid
     (reference method/structured/RegionalLinear2D.cc)."""
-    return StructuredInterpolation2D(source, _target_points(target), kind="linear")
+    return StructuredInterpolation2D(source, target, kind="linear")

@@ -97,10 +97,11 @@ def load_shifts(path: str):
         return None
 
 
-def save_legendre(path: str, P_sym: np.ndarray, P_asym: np.ndarray) -> None:
-    """Persist precomputed Legendre tables (reference: LegendreCache binary
-    blobs exported/imported by TransLocal.cc:652-711)."""
-    np.savez_compressed(path + ".tmp.npz", P_sym=P_sym, P_asym=P_asym)
+def save_legendre(path: str, P: np.ndarray) -> None:
+    """Persist the compact (nlat_half, ncoef) Legendre table (reference:
+    LegendreCache binary blobs exported/imported by TransLocal.cc:652-711).
+    The bucketed device tensors are rebuilt from it at load time."""
+    np.savez_compressed(path + ".tmp.npz", P=P)
     os.replace(path + ".tmp.npz", path)
 
 
@@ -109,6 +110,6 @@ def load_legendre(path: str):
         return None
     try:
         with np.load(path) as z:
-            return z["P_sym"], z["P_asym"]
+            return z["P"]
     except Exception:
         return None

@@ -11,13 +11,17 @@ Reference behavior (trans/local/TransLocal.cc):
    Gaussian quadrature (the ectrans approach), which makes roundtrip tests and
    the Spectral function space self-contained.
 
-TPU design: the ragged per-m GEMMs become ONE padded batched einsum on the MXU
-(m as the batch axis, n padded to T+1); the FFT is jnp.fft.irfft over the
-nxmax-padded latitude rows with per-row spectral truncation masks for reduced
-grids. Legendre tables are cached on disk keyed by (grid uid, truncation).
+TPU design: the ragged per-m GEMMs become a handful of batched MXU einsums —
+m's are grouped into log-sized BUCKETS of similar n-extent per parity (the
+reference packs per-m with minimal padding, TransLocal.cc:602-631; a single
+(T+1)-padded batch would waste ~4x FLOPs/bytes on the triangular spectrum);
+the Fourier stage is per-row-group real GEMMs. Legendre tables are cached on
+disk keyed by (grid uid, truncation).
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 
@@ -27,16 +31,102 @@ import jax.numpy as jnp
 from ..util.constants import DEG2RAD
 from .legendre import legendre_polynomials, nspec2, spectral_index
 
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+class _BucketedLegendre:
+    """m-bucketed, parity-split Legendre (or derivative) synthesis tables.
+
+    Each bucket covers a contiguous m-range whose n-extents are within 2x of
+    each other; per parity it stores a (mb, nlat_half, sb) table plus a
+    (mb, sb) gather map into the packed coefficient axis. apply() runs one
+    batched MXU einsum per (bucket, parity) and concatenates over m.
+    Relative padding waste (extra FLOPs/bytes over the exact triangular
+    packing) is recorded in self.waste — logged by benchmarks.
+    """
+
+    def __init__(self, V, ms, ns, t, dtype, sym_parity=0):
+        # V: (nlat_half, ncoef) table packed in spectral_index order.
+        # sym_parity: value of (n-m)%2 that lands in the "sym" slot (the
+        # derivative tables H have flipped parity -> pass 1).
+        ncoef = len(ms)
+        lut = np.full((t + 1, t + 2), -1, np.int64)
+        lut[ms, ns - ms] = np.arange(ncoef)
+        bounds = []
+        m0 = 0
+        while m0 <= t:
+            ln = t + 1 - m0
+            m1 = min(t + 1, m0 + max(32, ln // 2))
+            bounds.append((m0, m1))
+            m0 = m1
+        self.bounds = bounds
+        tables = []
+        padded = 0
+        for (m0, m1) in bounds:
+            per_parity = []
+            for p in (sym_parity, 1 - sym_parity):
+                # slots of parity p for each m in [m0, m1)
+                mlist = np.arange(m0, m1)
+                counts = (t - mlist - p) // 2 + 1
+                counts = np.maximum(counts, 0)
+                sb = max(int(counts.max()), 1)
+                slot = np.arange(sb)
+                nm = p + 2 * slot  # n - m per slot
+                g = lut[mlist[:, None], np.clip(nm, 0, t + 1)[None, :]]
+                mask = (nm[None, :] <= (t - mlist[:, None])) & (g >= 0)
+                gidx = np.where(mask, g, 0)
+                tab = V[:, gidx] * mask[None, :, :]  # (half, mb, sb)
+                per_parity.append(
+                    (
+                        jnp.asarray(np.transpose(tab, (1, 0, 2)), dtype),
+                        jnp.asarray(gidx.astype(np.int32)),
+                        jnp.asarray(mask.astype(V.dtype), dtype),
+                    )
+                )
+                padded += (m1 - m0) * sb
+            tables.append(tuple(x for pp in per_parity for x in pp))
+        self.tables = tuple(tables)
+        exact = (t + 1) * (t + 2) // 2
+        self.waste = padded / exact - 1.0
+
+    def apply(self, rhs, precision="highest"):
+        """rhs: (ncoef, q) packed coefficients -> (S, A) each (t+1, half, q)."""
+        return _bucketed_leg_apply(self.tables, rhs, precision)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _bucketed_leg_apply(tables, rhs, precision):
+    prec = _PRECISIONS[precision]
+    S_parts, A_parts = [], []
+    for (Ps, gs, mks, Pa, ga, mka) in tables:
+        rs = rhs[gs] * mks[..., None]  # (mb, sb, q)
+        S_parts.append(
+            jnp.einsum("mxs,msq->mxq", Ps, rs, precision=prec,
+                       preferred_element_type=Ps.dtype))
+        ra = rhs[ga] * mka[..., None]
+        A_parts.append(
+            jnp.einsum("mxs,msq->mxq", Pa, ra, precision=prec,
+                       preferred_element_type=Pa.dtype))
+    cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+    return cat(S_parts), cat(A_parts)
+
 
 class TransLocal:
     def __init__(self, grid, truncation: int, dtype=jnp.float32,
-                 use_cache: bool = False):
+                 use_cache: bool = False, precision: str = "highest"):
         from ..grid.structured import StructuredGrid
 
         self.grid = grid
         self.truncation = int(truncation)
         self.dtype = jnp.dtype(dtype)
         self.use_cache = bool(use_cache)
+        # MXU matmul precision for f32: "highest" = full f32 (6-pass bf16),
+        # "high" = 3-pass bf16 (~1e-6 rel), "default" = raw bf16 (~1e-3 rel)
+        self.precision = precision
         if not isinstance(grid, StructuredGrid):
             raise TypeError("TransLocal requires a structured grid")
         self._setup()
@@ -54,13 +144,13 @@ class TransLocal:
 
         ms, ns = spectral_index(t)
         parity = (ns - ms) % 2  # 0 symmetric, 1 antisymmetric
-        nmax = t + 1
-        self._coef_scatter = (ms, ns - ms)  # coefficient k -> (m, slot)
-        sym_mask = np.zeros((t + 1, nmax))
-        sym_mask[ms, ns - ms] = 1.0 - parity
+        self.parity = parity
+        self.ms, self.ns = ms, ns
 
         # Legendre tables: disk-cached like the reference's LegendreCache
-        # (trans/Cache.h, TransLocal.cc:652-711), keyed by grid + truncation
+        # (trans/Cache.h, TransLocal.cc:652-711), keyed by grid + truncation.
+        # Cached product = the COMPACT (nlat_half, ncoef) table; the bucketed
+        # device tensors are rebuilt from it (cheap gathers).
         cached = None
         cpath = None
         if self.use_cache:
@@ -69,40 +159,17 @@ class TransLocal:
             cpath = cache_path("legendre", f"T{t}-{grid.uid()[:12]}")
             cached = load_legendre(cpath)
         if cached is not None:
-            P_sym_np, P_asym_np = cached
+            P = cached
         else:
             P = legendre_polynomials(t, sinlat)  # (nlat_half, ncoef)
-            # padded per-m tensors: (T+1, nlat_half, nmax) with nmax = T+1
-            P_m = np.zeros((t + 1, self.nlat_half, nmax))
-            P_m[ms, :, ns - ms] = P.T.reshape(len(ms), self.nlat_half)
-            asym_mask = np.zeros((t + 1, nmax))
-            asym_mask[ms, ns - ms] = parity.astype(np.float64)
-            P_sym_np = P_m * sym_mask[:, None, :]
-            P_asym_np = P_m * asym_mask[:, None, :]
             if cpath is not None:
                 from ..io.cache import save_legendre
 
-                save_legendre(cpath, P_sym_np, P_asym_np)
-
-        self.P_sym = jnp.asarray(P_sym_np, self.dtype)
-        self.P_asym = jnp.asarray(P_asym_np, self.dtype)
-        # one batched GEMM for both parities: lat axis = [sym half | asym half]
-        self.P_cat = jnp.concatenate([self.P_sym, self.P_asym], axis=1)
-        self.sym_mask = sym_mask
-        self.parity = parity
-        self.ms, self.ns = ms, ns
-
-        # gather-based coefficient unpack (scatter .at[].set is ~5x slower on
-        # TPU): packed index k for slot (m, n-m), 0 + zero mask where empty
-        gidx = np.zeros((t + 1, nmax), np.int32)
-        gmask = np.zeros((t + 1, nmax))
-        gidx[ms, ns - ms] = np.arange(len(ms), dtype=np.int32)
-        gmask[ms, ns - ms] = 1.0
-        gmask_im = gmask.copy()
-        gmask_im[0] = 0.0  # m=0 coefficients are real
-        self._gidx = jnp.asarray(gidx)
-        self._gmask = jnp.asarray(gmask, self.dtype)
-        self._gmask_im = jnp.asarray(gmask_im, self.dtype)
+                save_legendre(cpath, P)
+        self.P_compact = P
+        self.legendre = _BucketedLegendre(P, ms, ns, t, self.dtype)
+        # m=0 imaginary coefficients are identically zero
+        self._im_mask = jnp.asarray((ms != 0).astype(np.float64), self.dtype)
 
         # Fourier: per-row lengths and per-row m-truncation
         self.nx = grid.nx.astype(np.int64)
@@ -171,15 +238,10 @@ class TransLocal:
         nf = spectra.shape[0]
         t = self.truncation
         half = self.nlat_half
-        # gather-unpack to (nf, T+1 m, nmax slots) re/im, then one batched
-        # MXU GEMM over m with q = (field, re/im) packed in the minor axis
-        re = spectra[:, 0::2][:, self._gidx] * self._gmask
-        im = spectra[:, 1::2][:, self._gidx] * self._gmask_im
-        rhs = jnp.stack([re, im], axis=-1)  # (nf, m, n, 2)
-        rhs = jnp.transpose(rhs, (1, 2, 0, 3)).reshape(t + 1, t + 1, nf * 2)
-        C = jnp.einsum("mxn,mnq->mxq", self.P_cat, rhs,
-                       preferred_element_type=self.dtype)
-        S, A = C[:, :half], C[:, half:]
+        # pack (re, im) into the GEMM minor axis q = (field, re/im), then the
+        # bucketed parity-split Legendre einsums on the MXU
+        rhs = _pack_rhs(spectra, self._im_mask)  # (ncoef, nf*2)
+        S, A = self.legendre.apply(rhs, self.precision)
         # hemispheres: N = S + A, S = S - A -> rows (nf, ny, T+1, 2)
         Fn = jnp.transpose((S + A).reshape(t + 1, half, nf, 2), (2, 1, 0, 3))
         Fs = jnp.transpose((S - A).reshape(t + 1, half, nf, 2), (2, 1, 0, 3))
@@ -214,6 +276,7 @@ class TransLocal:
         for rows, M in self._fourier_groups:
             g = G[:, rows] if len(rows) != G.shape[1] else G
             vals = jnp.einsum("nrk,kx->nrx", g, M,
+                              precision=_PRECISIONS[self.precision],
                               preferred_element_type=self.dtype)
             parts.append(vals.reshape(nf, -1))
         flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
@@ -232,8 +295,8 @@ class TransLocal:
         swap relative to the P tables (reference TransLocal scalar-derivative
         path, trans/local/TransLocal.cc invtrans with derivatives).
         """
-        if getattr(self, "_H_sym", None) is not None:
-            return self._H_sym, self._H_asym
+        if getattr(self, "_H_buckets", None) is not None:
+            return self._H_buckets
         t = self.truncation
         sinlat = np.sin(self.grid.y[: self.nlat_half] * DEG2RAD)
         # P up to degree t+1 for the n+1 term
@@ -250,17 +313,10 @@ class TransLocal:
             if n - 1 >= m:
                 H[:, k] += (n + 1) * e(n, m) * P1[:, lut[m, n - 1]]
             H[:, k] -= n * e(n + 1, m) * P1[:, lut[m, n + 1]]
-        nmax = t + 1
-        H_m = np.zeros((t + 1, self.nlat_half, nmax))
-        H_m[ms, :, ns - ms] = H.T.reshape(len(ms), self.nlat_half)
-        par = self.parity  # parity of P; H parity is flipped
-        flip_sym = np.zeros((t + 1, nmax))
-        flip_sym[ms, ns - ms] = par.astype(np.float64)  # H symmetric here
-        flip_asym = np.zeros((t + 1, nmax))
-        flip_asym[ms, ns - ms] = 1.0 - par
-        self._H_sym = jnp.asarray(H_m * flip_sym[:, None, :], self.dtype)
-        self._H_asym = jnp.asarray(H_m * flip_asym[:, None, :], self.dtype)
-        return self._H_sym, self._H_asym
+        # H parity is flipped relative to P: sym slots are (n-m)%2 == 1
+        self._H_buckets = _BucketedLegendre(
+            H, ms, ns, t, self.dtype, sym_parity=1)
+        return self._H_buckets
 
     def invtrans_grad(self, spectra):
         """Scalar fields plus horizontal derivatives on the grid.
@@ -277,22 +333,16 @@ class TransLocal:
         if squeeze:
             spectra = spectra[None]
         nf = spectra.shape[0]
-        t = self.truncation
-        ms, slots = self._coef_scatter
         re = spectra[:, 0::2]
-        im = spectra[:, 1::2]
-        coef = jnp.zeros((nf, t + 1, t + 1, 2), self.dtype)
-        coef = coef.at[:, ms, slots, 0].set(re)
-        coef = coef.at[:, ms, slots, 1].set(im)
+        im = spectra[:, 1::2] * self._im_mask
         # d/dlon: multiply a_mn by i m -> (re, im) -> (-m im, m re)
-        marr = jnp.asarray(np.arange(t + 1), self.dtype)[None, :, None]
-        coef_dx = jnp.stack(
-            [-marr * coef[..., 1], marr * coef[..., 0]], axis=-1)
+        m_k = jnp.asarray(self.ms.astype(np.float64), self.dtype)
+        rhs = _pack_pair(re, im)
+        rhs_dx = _pack_pair(-m_k * im, m_k * re)
 
-        fn, fs = _legendre_inv(self.P_sym, self.P_asym, coef)
-        dxn, dxs = _legendre_inv(self.P_sym, self.P_asym, coef_dx)
-        H_sym, H_asym = self._deriv_tables()
-        dyn, dys = _legendre_inv(H_sym, H_asym, coef)
+        fn, fs = _ns_pair(*self.legendre.apply(rhs, self.precision), nf)
+        dxn, dxs = _ns_pair(*self.legendre.apply(rhs_dx, self.precision), nf)
+        dyn, dys = _ns_pair(*self._deriv_tables().apply(rhs, self.precision), nf)
 
         f = self._fourier_inv(fn, fs, nf, False)
         dfdx = self._fourier_inv(dxn, dxs, nf, False)
@@ -392,15 +442,27 @@ class TransLocal:
 
 
 @jax.jit
-def _legendre_inv(P_sym, P_asym, coef):
-    """coef: (nf, m, n-slot, 2) -> (fnorth, fsouth): (nf, m, nlat_half, 2).
+def _pack_rhs(spectra, im_mask):
+    """(nf, nspec2) packed real spectra -> (ncoef, nf*2) GEMM operand."""
+    re = spectra[:, 0::2]
+    im = spectra[:, 1::2] * im_mask
+    return _pack_pair(re, im)
 
-    One batched MXU einsum per parity; hemispheres combined as N = S + A,
-    S = S - A (reference TransLocal.cc:1031-1083).
-    """
-    C_sym = jnp.einsum("mxn,fmnc->fmxc", P_sym, coef)
-    C_asym = jnp.einsum("mxn,fmnc->fmxc", P_asym, coef)
-    return C_sym + C_asym, C_sym - C_asym
+
+@jax.jit
+def _pack_pair(re, im):
+    ncoef = re.shape[1]
+    return jnp.stack([re, im], axis=-1).transpose(1, 0, 2).reshape(ncoef, -1)
+
+
+def _ns_pair(S, A, nf):
+    """Bucketed-apply output (t+1, half, nf*2) x2 -> hemispheres
+    (nf, t+1, half, 2) x2: north = S + A, south = S - A
+    (reference TransLocal.cc:1031-1083)."""
+    t1, half, _ = S.shape
+    n = jnp.transpose((S + A).reshape(t1, half, nf, 2), (2, 0, 1, 3))
+    s = jnp.transpose((S - A).reshape(t1, half, nf, 2), (2, 0, 1, 3))
+    return n, s
 
 
 class LegendreCacheCreator:

@@ -66,13 +66,41 @@ def _fori_pair(make_chain, *operands):
     return t_iter, note
 
 
+def _separable_reference_f64(interp, f_np):
+    """Host f64 evaluation of the separable two-pass kernel (accuracy gate)."""
+    s = interp._sep
+    fpad = f_np[s.pad_gather]  # (ny, nxw, nch)
+    ny, nxt, k = s.idx1.shape
+    vals = np.take_along_axis(
+        fpad, s.idx1.reshape(ny, nxt * k)[:, :, None], axis=1
+    ).reshape(ny, nxt, k, -1)
+    if interp.kind == "quasicubic":
+        tmp_c = (vals * s.wx[..., None]).sum(axis=2)
+        tmp_l = (vals * s.wx_lin[..., None]).sum(axis=2)
+        inner = np.zeros(k)
+        inner[1:-1] = 1.0
+        out = (tmp_c[s.rows] * (s.wy * inner)[..., None, None]).sum(axis=1)
+        out += (tmp_l[s.rows] * (s.wy * (1 - inner))[..., None, None]).sum(axis=1)
+    else:
+        tmp = (vals * s.wx[..., None]).sum(axis=2)
+        out = (tmp[s.rows] * s.wy[..., None, None]).sum(axis=1)
+    return out.reshape(-1, f_np.shape[-1])
+
+
 def bench_bicubic(args):
-    """BASELINE config 2: structured bicubic O320 -> regular 0.25 deg."""
+    """BASELINE config 2: structured bicubic O320 -> regular 0.25 deg.
+
+    Measures the separable two-pass fast path (interpolation/structured.py):
+    x-resample each source row to the shared target longitudes, then y-combine
+    k consecutive rows. Accuracy-gated against a host f64 evaluation.
+    """
     import jax
     import jax.numpy as jnp
 
     from atlas_tpu import Grid
     from atlas_tpu.interpolation import Interpolation
+    from atlas_tpu.interpolation.structured import (
+        _apply_separable, _apply_windowed)
 
     dtype = jnp.dtype(args.dtype)
     src = Grid(args.grid)
@@ -80,18 +108,42 @@ def bench_bicubic(args):
     t0 = time.time()
     interp = Interpolation("structured-bicubic", src, tgt)
     setup_s = time.time() - t0
+    assert interp._sep is not None, "separable fast path not taken"
     nlev = args.nlev
-    idx = jnp.asarray(interp.idx)
-    w = jnp.asarray(interp.w, dtype)
     f = jax.random.normal(jax.random.key(0), (src.size, nlev), dtype)
+
+    # accuracy gate: device result vs host f64 separable evaluation
+    out_dev = np.asarray(interp.execute(f[:, :2]))
+    ref = _separable_reference_f64(interp, np.asarray(f[:, :2], np.float64))
+    max_rel_err = float(np.abs(out_dev - ref).max() / np.abs(ref).max())
+    tol = 1e-5 if dtype == jnp.float32 else 1e-12
+    assert max_rel_err < tol, f"bicubic accuracy gate: {max_rel_err} >= {tol}"
+
+    t = interp._sep_tables(dtype)
+    s = interp._sep
+    # tables must be ARGUMENTS of the outer jit: closed-over device arrays
+    # are embedded as HLO constants (a ~0.5 GB program upload)
+    if s.Wt is not None:
+        impl = "windowed-mxu"
+        ops = (t["pad_gather"], t["win_start"], t["Wt"], t["rows"], t["wy"])
+
+        def apply_fn(f, tabs):
+            return _apply_windowed(*tabs, s.nxt, f)
+    else:
+        impl = "separable-gather"
+        ops = (t["pad_gather"], t["idx1"], t["wx"], t["rows"], t["wy"])
+
+        def apply_fn(f, tabs):
+            return _apply_separable(*tabs, f)
+
     K = max(args.niter, 20)
 
     def make_chain():
         def make(k):
             @jax.jit
-            def chain(idx, w, f):
+            def chain(f, *tabs):
                 def body(_, f):
-                    out = (f[idx] * w[..., None]).sum(axis=1)
+                    out = apply_fn(f, tabs)
                     return f + out.mean() * jnp.asarray(1e-30, dtype)
 
                 return jnp.sum(jax.lax.fori_loop(0, k, body, f))
@@ -100,9 +152,26 @@ def bench_bicubic(args):
 
         return make(1), make(K), K
 
-    t_iter, note = _fori_pair(make_chain, idx, w, f)
-    ntgt, kst = interp.idx.shape
-    traffic = (src.size + 2 * ntgt * kst + ntgt) * nlev * dtype.itemsize
+    t_iter, note = _fori_pair(make_chain, f, *ops)
+    ntgt = interp.ntgt
+    kst = interp.k
+    # min traffic: src read + padded-row build + pass-1 window reads (+ the
+    # level-independent weight tensor) + row-resample write + pass-2 reads +
+    # target write
+    elems = (
+        src.size
+        + 2 * s.ny * s.nxw  # padded-layout gather write + window reads source
+        + s.ny * s.nxt  # tmp write
+        + s.nyt * kst * s.nxt  # pass-2 reads
+        + ntgt
+    )
+    if s.Wt is not None:
+        elems += s.Wt.shape[0] * s.Wt.shape[1] * s.Wt.shape[3]  # window reads
+        wt_bytes = s.Wt.size * dtype.itemsize
+    else:
+        elems += s.ny * s.nxt * kst  # pass-1 gather reads
+        wt_bytes = 0
+    traffic = elems * nlev * dtype.itemsize + wt_bytes
     return _emit(
         f"bicubic_{args.grid}_to_{tgt.name}_nlev{nlev}_targetpoints_per_s",
         ntgt * nlev / t_iter, "targetpoints/s",
@@ -110,38 +179,104 @@ def bench_bicubic(args):
         {"metric_kind": "bicubic", "src": args.grid, "tgt": tgt.name,
          "ntgt": int(ntgt), "nlev": nlev, "iter_time_s": t_iter,
          "setup_s": setup_s, "timing_note": note, "dtype": str(dtype),
-         "note": "vs_baseline = gather+fma traffic / 819 GB/s v5e HBM peak"},
+         "impl": impl, "max_rel_err": max_rel_err,
+         "note": "vs_baseline = separable two-pass min traffic / 819 GB/s "
+                 "v5e HBM peak; accuracy-gated vs host f64"},
     )
 
 
+def _invtrans_ref_f64(tr, sp):
+    """Host f64 reference inverse transform (accuracy gate for bench_trans)."""
+    t, half, grid = tr.truncation, tr.nlat_half, tr.grid
+    ms, ns = tr.ms, tr.ns
+    P = tr.P_compact  # (half, ncoef) f64
+    nf = sp.shape[0]
+    re = sp[:, 0::2].astype(np.float64)
+    im = sp[:, 1::2].astype(np.float64).copy()
+    im[:, ms == 0] = 0.0
+    coef = re + 1j * im
+    F = np.zeros((nf, grid.ny, t + 1), np.complex128)
+    for m in range(t + 1):
+        k = np.flatnonzero(ms == m)
+        par = (ns[k] - m) % 2
+        cs = coef[:, k[par == 0]] @ P[:, k[par == 0]].T  # (nf, half)
+        ca = coef[:, k[par == 1]] @ P[:, k[par == 1]].T
+        north, south = cs + ca, cs - ca
+        F[:, :half, m] = north
+        F[:, half:, m] = south[:, ::-1][:, 2 * half - grid.ny:]
+    mm = np.arange(t + 1)
+    F *= np.exp(1j * np.outer(tr.x0, mm))[None]
+    out = np.empty((nf, grid.size))
+    for nx in np.unique(grid.nx):
+        rows = np.flatnonzero(grid.nx == nx)
+        nx = int(nx)
+        mact = min(t, (nx - 1) // 2)
+        spec = np.zeros((nf, len(rows), nx // 2 + 1), np.complex128)
+        spec[:, :, : mact + 1] = F[:, rows, : mact + 1]
+        spec[:, :, 1:] *= 0.5
+        vals = np.fft.irfft(spec * nx, n=nx, axis=-1)
+        idx = np.concatenate(
+            [np.arange(grid.row_offset[r], grid.row_offset[r] + nx)
+             for r in rows])
+        out[:, idx] = vals.reshape(nf, -1)
+    return out
+
+
 def bench_trans(args):
-    """BASELINE config 3: TransLocal inverse transform T159 -> F80."""
+    """BASELINE config 3 at reference scale: TransLocal inverse transform
+    T639 -> F640 (m-bucketed Legendre MXU einsums + row-group Fourier GEMM),
+    with per-stage breakdown and a host-f64 accuracy gate."""
     import jax
     import jax.numpy as jnp
 
     from atlas_tpu import Grid
     from atlas_tpu.trans import TransLocal, nspec2, spectral_index
+    from atlas_tpu.trans.trans_local import (
+        _bucketed_leg_apply, _pack_rhs)
 
     dtype = jnp.dtype(args.dtype)
-    T, gname = (159, "F80") if not args.quick else (42, "F24")
+    T, gname = (639, "F640") if not args.quick else (42, "F24")
     grid = Grid(gname)
     t0 = time.time()
-    tr = TransLocal(grid, T, dtype=dtype)
+    tr = TransLocal(grid, T, dtype=dtype, use_cache=True,
+                    precision=args.precision)
     setup_s = time.time() - t0
     nf = args.nlev
     rng = np.random.default_rng(0)
-    sp = rng.standard_normal((nf, nspec2(T))).astype(args.dtype)
+    sp_np = rng.standard_normal((nf, nspec2(T))).astype(args.dtype)
     ms, _ = spectral_index(T)
-    sp[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
-    sp = jnp.asarray(sp)
-    K = max(args.niter, 20)
+    sp_np[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    sp = jnp.asarray(sp_np)
 
-    def make_chain():
+    # accuracy gate: full device transform vs host f64 reference (2 fields)
+    out_dev = np.asarray(tr.invtrans(sp[:2]))
+    ref = _invtrans_ref_f64(tr, sp_np[:2])
+    max_rel_err = float(np.abs(out_dev - ref).max() / np.abs(ref).max())
+    tol = {"float32": 2e-4, "float64": 1e-10}.get(str(dtype), 2e-4)
+    assert max_rel_err < tol, f"trans accuracy gate: {max_rel_err} >= {tol}"
+
+    K = max(args.niter, 20)
+    half = tr.nlat_half
+    nf2 = nf * 2
+    leg_tabs = tr.legendre.tables
+    im_mask = tr._im_mask
+    prec = args.precision
+
+    # ---- full invtrans chain (tables as ARGS, not closure constants) ------
+    def make_full():
         def make(k):
             @jax.jit
-            def chain(sp):
+            def chain(sp, tabs, imm):
                 def body(_, sp):
-                    gp = tr.invtrans(sp)
+                    rhs = _pack_rhs(sp, imm)
+                    S, A = _bucketed_leg_apply(tabs, rhs, prec)
+                    Fn = jnp.transpose(
+                        (S + A).reshape(T + 1, half, nf, 2), (2, 1, 0, 3))
+                    Fs = jnp.transpose(
+                        (S - A).reshape(T + 1, half, nf, 2), (2, 1, 0, 3))
+                    F = jnp.concatenate(
+                        [Fn, Fs[:, ::-1][:, 2 * half - grid.ny:]], axis=1)
+                    gp = tr._fourier_rows(F, nf)
                     return sp + gp.mean() * jnp.asarray(1e-30, dtype)
 
                 return jnp.sum(jax.lax.fori_loop(0, k, body, sp))
@@ -150,18 +285,71 @@ def bench_trans(args):
 
         return make(1), make(K), K
 
-    t_iter, note = _fori_pair(make_chain, sp)
-    # Legendre MACs: sym+asym einsums over (m, lat_half, n) x (nf, m, n, 2)
-    half = (grid.ny + 1) // 2
-    flops = 2 * 2 * 2 * nf * (T + 1) * half * (T + 1)
+    t_iter, note = _fori_pair(make_full, sp, leg_tabs, im_mask)
+
+    # ---- Legendre-only chain ---------------------------------------------
+    rhs0 = _pack_rhs(sp, im_mask)
+
+    def make_leg():
+        def make(k):
+            @jax.jit
+            def chain(rhs, tabs):
+                def body(_, rhs):
+                    S, A = _bucketed_leg_apply(tabs, rhs, prec)
+                    return rhs + (S.mean() + A.mean()) * jnp.asarray(1e-30, dtype)
+
+                return jnp.sum(jax.lax.fori_loop(0, k, body, rhs))
+
+            return chain
+
+        return make(1), make(K), K
+
+    t_leg, _ = _fori_pair(make_leg, rhs0, leg_tabs)
+
+    # ---- Fourier-only chain ----------------------------------------------
+    F0 = jax.random.normal(jax.random.key(1), (nf, grid.ny, T + 1, 2), dtype)
+
+    def make_fou():
+        def make(k):
+            @jax.jit
+            def chain(F):
+                def body(_, F):
+                    gp = tr._fourier_rows(F, nf)
+                    return F + gp.mean() * jnp.asarray(1e-30, dtype)
+
+                return jnp.sum(jax.lax.fori_loop(0, k, body, F))
+
+            return chain
+
+        return make(1), make(K), K
+
+    t_fou, _ = _fori_pair(make_fou, F0)
+
+    # exact (compact) Legendre FLOPs; padding waste logged separately
+    macs = half * (T + 1) * (T + 2) // 2 * nf2
+    flops = 2 * macs
+    # Fourier GEMM FLOPs: per row 2(T+1) x nx real MACs per field
+    fou_flops = 2 * nf * int(np.sum(2 * (T + 1) * grid.nx))
+    # effective MXU peak for the chosen f32 matmul precision (multi-pass
+    # bf16 emulation: high = 3 passes, highest = 6)
+    eff_peak = {"default": 197e12, "high": 197e12 / 3,
+                "highest": 197e12 / 6}[prec]
     return _emit(
         f"translocal_T{T}_to_{gname}_nf{nf}_gridpoints_per_s",
         grid.size * nf / t_iter, "gridpoints/s",
-        (flops / t_iter) / 197e12,
+        (flops / t_leg) / eff_peak,
         {"metric_kind": "trans", "truncation": T, "grid": gname, "nf": nf,
-         "iter_time_s": t_iter, "setup_s": setup_s, "timing_note": note,
-         "legendre_GFLOP": flops / 1e9, "dtype": str(dtype),
-         "note": "vs_baseline = Legendre-stage FLOPs / 197 TFLOP/s v5e bf16 MXU peak"},
+         "iter_time_s": t_iter, "legendre_s": t_leg, "fourier_s": t_fou,
+         "setup_s": setup_s, "timing_note": note,
+         "legendre_GFLOP": flops / 1e9, "fourier_GFLOP": fou_flops / 1e9,
+         "legendre_padding_waste": tr.legendre.waste,
+         "legendre_table_MB": sum(
+             int(np.prod(t_[0].shape)) for t_ in leg_tabs) * 4 / 1e6,
+         "precision": prec, "max_rel_err": max_rel_err,
+         "dtype": str(dtype),
+         "note": "vs_baseline = compact Legendre FLOPs / t_legendre over "
+                 "the precision-adjusted v5e MXU peak (197 TF/s bf16; "
+                 "/3 high, /6 highest); accuracy-gated vs host f64"},
     )
 
 
@@ -560,6 +748,8 @@ def main():
                              "conservative"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--precision", default="high",
+                    choices=["default", "high", "highest"])
     args = ap.parse_args()
     if args.quick:
         args.grid, args.nlev, args.niter = "O32", 8, 5

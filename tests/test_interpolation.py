@@ -154,3 +154,40 @@ def test_matrix_cache_reuse_and_disk(tmp_path):
     i3 = Interpolation("k-nearest-neighbours", src, tgt, cache=c2)
     np.testing.assert_allclose(
         np.asarray(i3.execute(f)), np.asarray(i1.execute(f)), atol=0)
+
+
+def test_separable_fast_path_matches_flat(src):
+    """Structured->uniform-row targets take the separable two-pass fast path
+    and reproduce the flat gather-dot exactly (same tensor-product weights,
+    reference StructuredInterpolation2D.tcc:239-378 row-coherent kernel)."""
+    grid, f = src
+    tgt = Grid("L90x46")
+    rng = np.random.default_rng(0)
+    fields = rng.standard_normal((grid.size, 3))
+    for name, kind in [
+        ("structured-bilinear", "linear"),
+        ("structured-bicubic", "cubic"),
+        ("structured-biquasicubic", "quasicubic"),
+    ]:
+        m = Interpolation(name, grid, tgt)
+        assert m._sep is not None, f"{name}: fast path not taken"
+        flat = StructuredInterpolation2D(grid, tgt.lonlat(), kind=kind)
+        a = np.asarray(m.execute(fields))
+        b = np.asarray(flat.execute(fields))
+        np.testing.assert_allclose(a, b, atol=1e-12)
+        # adjoint: <A x, y> == <x, A^T y>
+        y = rng.standard_normal((tgt.size, 3))
+        lhs = (a * y).sum()
+        rhs = (fields * np.asarray(m.execute_adjoint(y))).sum()
+        assert abs(lhs - rhs) < 1e-10 * abs(lhs) + 1e-12
+        # lazy flat (idx, w) export still available for matrix()/cache
+        assert m.matrix().shape == (tgt.size, grid.size)
+
+
+def test_separable_not_taken_for_reduced_target(src):
+    grid, _ = src
+    tgt = Grid("O16")  # reduced rows -> no shared target longitudes
+    m = Interpolation("structured-bicubic", grid, tgt)
+    assert m._sep is None
+    out = np.asarray(m.execute(np.ones(grid.size)))
+    np.testing.assert_allclose(out, 1.0, atol=1e-12)
