@@ -65,5 +65,48 @@ class Spectral(FunctionSpace):
         """Indices of the m == 0 coefficients (real parts)."""
         return 2 * np.flatnonzero(self.m == 0)
 
+    # ----------------------------------------------- scatter / gather
+    # Reference: Spectral::gather/scatter move spectral fields between the
+    # global packed layout and the per-partition m-distributed layout
+    # (functionspace/Spectral.cc:54-75 via trans; here the layout is the
+    # round-robin SpectralDistribution shared with TransDistributed).
+
+    def local_index(self, part: int | None = None) -> np.ndarray:
+        """Global packed indices of this part's local coefficients.
+
+        Local layout: for m in my_ms (ascending), for n = m..T: (re, im) —
+        matching nspec2(part)."""
+        part = self.part if part is None else part
+        t = self.truncation
+        ms_p = (self._dist.my_ms(part) if self._dist is not None
+                else np.arange(t + 1))
+        lut = np.full((t + 1, t + 1), -1, np.int64)
+        lut[self.m, self.n] = np.arange(len(self.m))
+        ks = np.concatenate(
+            [lut[m, m:t + 1] for m in ms_p]) if len(ms_p) else np.zeros(0, np.int64)
+        out = np.empty(2 * len(ks), np.int64)
+        out[0::2] = 2 * ks
+        out[1::2] = 2 * ks + 1
+        return out
+
+    def scatter(self, global_data, part: int | None = None) -> np.ndarray:
+        """Global packed spectra (..., nspec2_global) -> this part's local
+        packed coefficients (..., nspec2(part))."""
+        return np.asarray(global_data)[..., self.local_index(part)]
+
+    def gather(self, parts_data) -> np.ndarray:
+        """Per-part local arrays (list over parts, or {part: data}) ->
+        global packed spectra."""
+        if isinstance(parts_data, dict):
+            items = sorted(parts_data.items())
+        else:
+            items = list(enumerate(parts_data))
+        first = np.asarray(items[0][1])
+        out = np.zeros(first.shape[:-1] + (self.nb_spectral_coefficients_global,),
+                       first.dtype)
+        for part, data in items:
+            out[..., self.local_index(part)] = np.asarray(data)
+        return out
+
     def __repr__(self):
         return f"Spectral(T={self.truncation})"

@@ -98,6 +98,145 @@ def sparse_matrix_multiply(A: SparseMatrix, x, backend: str | None = None):
     raise ValueError(f"unknown sparse backend {backend!r} (gather|bcoo|dense)")
 
 
+class WindowedELL:
+    """Locality-sorted, block-windowed SpMM — the TPU-native analog of the
+    reference's cache-ordered CSR SpMM (interpolation/method/Method.cc:169-290
+    + mesh/actions/ReorderHilbert.cc rationale).
+
+    XLA's elementwise gather costs ~5 ns per scalar on TPU, so a (ntgt, k)
+    gather-dot on scalar fields runs at ~0.1% of HBM roofline. Here target
+    rows are sorted by their minimum source index at SETUP time, grouped into
+    blocks of B, and each block's taps are re-expressed against one contiguous
+    W-wide source window: execution is one dynamic-slice per block plus a
+    dense (B, W) MXU contraction (zero weights pad the band). Blocks whose
+    source span exceeds W (a few percent on well-ordered operators) fall back
+    to the gather path; `self.fast_fraction` records the split.
+    """
+
+    def __init__(self, idx, w, nsrc, block: int = 128, max_W: int = 2048,
+                 max_bytes: float = 800e6):
+        import jax.numpy as jnp
+
+        idx = np.asarray(idx).astype(np.int64)  # int32 would overflow the
+        w = np.asarray(w, np.float64)           # dead-tap sentinel below
+        ntgt, k = idx.shape
+        self.nsrc = int(nsrc)
+        self.ntgt = ntgt
+        # mask padded taps (weight 0): they must not widen the span
+        live = w != 0.0
+        lo = np.where(live, idx, np.iinfo(np.int64).max).min(axis=1)
+        hi = np.where(live, idx, -1).max(axis=1)
+        lo = np.where(live.any(axis=1), lo, 0)
+        hi = np.where(live.any(axis=1), hi, 0)
+        width = hi - lo + 1
+        B = block
+        # W covers the TYPICAL stencil width plus the sorted-lo drift across
+        # one block (~B * nsrc/ntgt); individually-wide targets (e.g.
+        # stencils straddling a cubed-sphere tile seam) go straight to the
+        # residual gather path so one wide row cannot poison a whole block
+        drift = B * max(self.nsrc / max(ntgt, 1), 1.0) * 1.5
+        W = int(np.clip(
+            -(-int(np.percentile(width, 90) + drift) // 128) * 128,
+            128, max_W))
+        while (-(-ntgt // B)) * B * W * 4 > max_bytes and W > 128:
+            W -= 128
+        narrow = np.flatnonzero(width <= max(W - int(drift), W // 4))
+        order = narrow[np.argsort(lo[narrow], kind="stable")]
+        self.W = W
+        self.B = B
+        if len(order) == 0:
+            fast_blocks = np.zeros(0, np.int64)
+            slow_blocks = np.zeros(0, np.int64)
+            nb = 0
+            order_p = np.zeros((0,), np.int64)
+        else:
+            nb = -(-len(order) // B)
+            pad = nb * B - len(order)
+            order_p = np.concatenate([order, np.full(pad, order[-1])])
+            blo = lo[order_p].reshape(nb, B)
+            bhi = hi[order_p].reshape(nb, B)
+            span = bhi.max(axis=1) - blo.min(axis=1) + 1
+            fast_blocks = np.flatnonzero(span <= W)
+            slow_blocks = np.flatnonzero(span > W)
+        # fast-path tensors (f is zero-padded by W at apply time, so windows
+        # may run past nsrc; starts stay unclipped to keep offsets exact)
+        if len(fast_blocks):
+            starts = blo.min(axis=1)
+            Wt = np.zeros((len(fast_blocks), B, W))
+            tgt_fast = order_p.reshape(nb, B)[fast_blocks]
+            for bi, b in enumerate(fast_blocks):
+                rows = order_p.reshape(nb, B)[b]
+                offs = idx[rows] - starts[b]
+                valid = live[rows]
+                assert offs[valid].min() >= 0 and offs[valid].max() < W
+                bb = np.broadcast_to(np.arange(B)[:, None], offs.shape)
+                np.add.at(Wt[bi], (bb[valid], offs[valid]), w[rows][valid])
+            self.win_start = starts[fast_blocks].astype(np.int32)
+            self.Wt = Wt
+            self.tgt_fast = tgt_fast.reshape(-1).astype(np.int32)
+        else:
+            self.win_start = np.zeros(0, np.int32)
+            self.Wt = np.zeros((0, B, W))
+            self.tgt_fast = np.zeros(0, np.int32)
+        # slow-path residual (plain gather-dot): wide targets + slow blocks
+        slow_rows = np.setdiff1d(np.arange(ntgt),
+                                 np.unique(self.tgt_fast))
+        self.tgt_slow = slow_rows.astype(np.int32)
+        self.idx_slow = idx[slow_rows].astype(np.int32)
+        self.w_slow = w[slow_rows]
+        self.fast_fraction = 1.0 - len(slow_rows) / max(ntgt, 1)
+        self._dev = {}
+
+    def tables(self, dtype):
+        import jax.numpy as jnp
+
+        key = jnp.dtype(dtype).name
+        if key not in self._dev:
+            self._dev[key] = (
+                jnp.asarray(self.win_start),
+                jnp.asarray(self.Wt, dtype),
+                jnp.asarray(self.tgt_fast),
+                jnp.asarray(self.idx_slow),
+                jnp.asarray(self.w_slow, dtype),
+                jnp.asarray(self.tgt_slow),
+            )
+        return self._dev[key]
+
+    def apply(self, f):
+        """f: (nsrc,) or (nsrc, nch) -> (ntgt[, nch])."""
+        import jax.numpy as jnp
+
+        f = jnp.asarray(f)
+        tabs = self.tables(f.dtype)
+        return windowed_ell_apply(*tabs, self.ntgt, self.W, f)
+
+
+def windowed_ell_apply(win_start, Wt, tgt_fast, idx_slow, w_slow, tgt_slow,
+                       ntgt, W, f):
+    """jit-compatible windowed ELL SpMM (see WindowedELL)."""
+    import jax
+    import jax.numpy as jnp
+
+    squeeze = f.ndim == 1
+    f2 = f[:, None] if squeeze else f
+    nch = f2.shape[-1]
+    pad = jnp.pad(f2, ((0, W), (0, 0)))
+    zero = jnp.zeros((), win_start.dtype)
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(pad, (s, zero), (W, nch))
+    )(win_start)  # (nb_fast, W, nch)
+    out_fast = jnp.einsum("bIW,bWc->bIc", Wt, win,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=Wt.dtype)
+    out = jnp.zeros((ntgt, nch), f2.dtype)
+    out = out.at[tgt_fast].set(out_fast.reshape(-1, nch))
+    if idx_slow.shape[0]:
+        vals = f2[idx_slow]  # (nslow, k, nch)
+        out_slow = (vals * w_slow[..., None]).sum(axis=1)
+        out = out.at[tgt_slow].set(out_slow)
+    return out[:, 0] if squeeze else out
+
+
 def matrix_multiply(a, b, backend: str | None = None):
     """Dense GEMM (reference linalg/dense). On TPU this is always the MXU."""
     import jax.numpy as jnp

@@ -336,37 +336,41 @@ class PallasShallowWater:
     def _interpret(self):
         return jax.default_backend() not in ("tpu", "axon")
 
-    def _stage(self, prev, cur, dt, ca, cb):
+    def _stage(self, prev, cur, dt, ca, cb, Sx, Sy, M):
         cur = self._fill3(*cur)
         it = self._interpret()
         dt = jnp.asarray(dt, self.dtype)
-        return swe_stage_pallas(self.runs, self.amax, self.tjs, self.Sx,
-                                self.Sy, self.M, *prev, *cur, dt,
+        return swe_stage_pallas(self.runs, self.amax, self.tjs, Sx,
+                                Sy, M, *prev, *cur, dt,
                                 jnp.asarray(ca, self.dtype),
                                 jnp.asarray(cb, self.dtype), interpret=it)
 
-    def _rk3(self, huv, dt):
-        s1 = self._stage(huv, huv, dt, 0.0, 1.0)
-        s2 = self._stage(huv, s1, dt, 0.75, 0.25)
-        s3 = self._stage(huv, s2, dt, 1.0 / 3.0, 2.0 / 3.0)
+    def _rk3(self, huv, dt, Sx, Sy, M):
+        s1 = self._stage(huv, huv, dt, 0.0, 1.0, Sx, Sy, M)
+        s2 = self._stage(huv, s1, dt, 0.75, 0.25, Sx, Sy, M)
+        s3 = self._stage(huv, s2, dt, 1.0 / 3.0, 2.0 / 3.0, Sx, Sy, M)
         return s3
 
     def step(self, huv, dt):
         """One SSP-RK3 step on padded (h, u, v) — one jitted program
-        containing the three fused stage kernels."""
+        containing the three fused stage kernels. The big S/M tables are jit
+        ARGUMENTS: closure capture would embed them as HLO constants (~GB at
+        O1280, rejected by the remote-compile transport)."""
         if getattr(self, "_step_jit", None) is None:
             self._step_jit = jax.jit(self._rk3)
-        return self._step_jit(huv, jnp.asarray(dt, self.dtype))
+        return self._step_jit(huv, jnp.asarray(dt, self.dtype),
+                              self.Sx, self.Sy, self.M)
 
     def run(self, huv, dt, nsteps: int):
         """nsteps SSP-RK3 steps chained in a single fori_loop program."""
         if getattr(self, "_run_jit", None) is None:
             @partial(jax.jit, static_argnums=2)
-            def _run(huv, dt, n):
+            def _run(huv, dt, n, Sx, Sy, M):
                 def body(_, x):
-                    return self._rk3(x, dt)
+                    return self._rk3(x, dt, Sx, Sy, M)
 
                 return jax.lax.fori_loop(0, n, body, huv)
 
             self._run_jit = _run
-        return self._run_jit(huv, jnp.asarray(dt, self.dtype), nsteps)
+        return self._run_jit(huv, jnp.asarray(dt, self.dtype), nsteps,
+                             self.Sx, self.Sy, self.M)

@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..grid.stencil import interp_structured_cubic, stencil_tables
+from ..grid.stencil import (interp_cubic_padded, interp_structured_cubic,
+                            make_taps, pad_field, padded_tables)
 from ..util.constants import DEG2RAD, EARTH_RADIUS, RAD2DEG
 
 
@@ -24,33 +25,41 @@ class SemiLagrangianAdvection:
         self.grid = grid
         self.radius = float(radius)
         self.iterations = int(iterations)
-        self.tables = stencil_tables(grid)
+        tables = padded_tables(grid)
+        self.nxw = tables.pop("nxw")  # static (not a jit pytree leaf)
+        self.tables = tables
         ll = grid.lonlat()
         self.lon = jnp.asarray(ll[:, 0])
         self.lat = jnp.asarray(ll[:, 1])
 
+    def _taps(self, f):
+        t = self.tables
+        return make_taps(pad_field(jnp.asarray(f), t["row_offset"], self.nxw,
+                                   t["halo_pos"], t["halo_src"]))
+
     def departure_points(self, u, v, dt):
         """Midpoint-rule departure points (lon_d, lat_d) in degrees."""
+        uv = jnp.stack([jnp.asarray(u), jnp.asarray(v)], axis=-1)
         return _departure(
-            self.tables, self.lon, self.lat, u, v,
+            self.tables, self.lon, self.lat, self._taps(uv),
             jnp.asarray(dt), jnp.asarray(self.radius), self.iterations,
         )
 
     def step(self, q, u, v, dt):
         """Advect q by (u, v) [m/s] over dt [s]: q_new(x) = q(x_departure)."""
         lon_d, lat_d = self.departure_points(u, v, dt)
-        return interp_structured_cubic(self.tables, q, lon_d, lat_d)
+        return interp_cubic_padded(self.tables, self._taps(q), lon_d, lat_d)
 
 
-@partial(jax.jit, static_argnums=7)
-def _departure(tables, lon, lat, u, v, dt, radius, iterations):
+@partial(jax.jit, static_argnums=6)
+def _departure(tables, lon, lat, uv_taps, dt, radius, iterations):
     d2r = jnp.asarray(DEG2RAD, lon.dtype)
     lon_d, lat_d = lon, lat
     for _ in range(iterations):
         lon_m = 0.5 * (lon + lon_d)
         lat_m = 0.5 * (lat + lat_d)
-        u_m = interp_structured_cubic(tables, u, lon_m, lat_m)
-        v_m = interp_structured_cubic(tables, v, lon_m, lat_m)
+        uv_m = interp_cubic_padded(tables, uv_taps, lon_m, lat_m)  # (n, 2)
+        u_m, v_m = uv_m[:, 0], uv_m[:, 1]
         coslat = jnp.cos(lat_m * d2r)
         lon_d = lon - u_m * dt / (radius * jnp.maximum(coslat, 1e-6)) / d2r
         lat_d = lat - v_m * dt / radius / d2r

@@ -378,30 +378,72 @@ def bench_swe(args):
     state = model.initial_state_williamson2()
     dt = jnp.asarray(model.suggested_dt(), dtype)
 
+    extra = {}
     if args.impl != "xla":
         from atlas_tpu.model.pallas_swe import PallasShallowWater
+        from atlas_tpu.model.shallow_water import _swe_rk3
 
         ps = PallasShallowWater(model)
         huv = ps.pad_state(state)
-        sum_fn = jax.jit(lambda t: jnp.sum(t[0]))
 
-        def chain(n, huv=huv):
-            x = huv
-            for _ in range(n):
-                x = ps.step(x, dt)
-            return float(sum_fn(x))
+        # accuracy cross-check: one step vs the independent XLA shift path
+        got1 = ps.unpad_state(ps.step(huv, dt))
+        ref1 = _swe_rk3(model._tbl(), state, dt)
+        max_rel_err = max(
+            float(jnp.abs(got1[k] - ref1[k]).max() / jnp.abs(ref1[k]).max())
+            for k in ("h", "u", "v"))
+        assert max_rel_err < 5e-4, f"pallas-vs-xla SWE step: {max_rel_err}"
+        extra["max_rel_err_vs_xla"] = max_rel_err
 
-        chain(1)  # compile
+        sum_fn = jax.jit(lambda x: jnp.sum(x[0]))
         K = max(args.niter, 10)
-        t0 = time.perf_counter()
-        chain(1)
-        t_one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sK = chain(K)
-        t_K = time.perf_counter() - t0
-        t_iter = max((t_K - t_one) / (K - 1), 1e-6)
-        assert np.isfinite(sK), "pallas SWE chain produced non-finite sum"
-        note = f"chain diff: {K} steps {t_K*1e3:.2f} ms vs 1 step {t_one*1e3:.2f} ms"
+
+        def make_chain():
+            def make(k):
+                def c(huv):
+                    return sum_fn(ps.run(huv, dt, k))
+
+                return c
+
+            return make(1), make(K), K
+
+        t_iter, note = _fori_pair(make_chain, huv)
+
+        # per-stage breakdown: fused stage kernel vs periodic x-halo fill
+        def make_stage():
+            def make(k):
+                @jax.jit
+                def c(huv, Sx, Sy, M):
+                    def body(_, x):
+                        return ps._stage(x, x, dt, 0.75, 0.25, Sx, Sy, M)
+
+                    return jnp.sum(jax.lax.fori_loop(0, k, body, huv)[0])
+
+                return c
+
+            return make(1), make(K), K
+
+        t_stage, _ = _fori_pair(make_stage, huv, ps.Sx, ps.Sy, ps.M)
+
+        def make_fill():
+            def make(k):
+                @jax.jit
+                def c(huv):
+                    def body(_, x):
+                        return ps._fill3(*x)
+
+                    return jnp.sum(jax.lax.fori_loop(0, k, body, huv)[0])
+
+                return c
+
+            return make(1), make(K), K
+
+        t_fill, _ = _fori_pair(make_fill, huv)
+        extra.update(stage_s=t_stage, halo_fill_s=t_fill,
+                     stage_note="stage_s = one fused RK stage incl. halo "
+                                "fill; halo_fill_s = the three-field "
+                                "periodic x-halo fill alone")
+
         impl = "pallas"
         plane = ps.ny_pad * ps.nxw_pad * jnp.dtype(dtype).itemsize
         # per stage: packed S (2*amax) + metrics (6) + field reads/writes
@@ -441,7 +483,7 @@ def bench_swe(args):
         {"metric_kind": "swe", "grid": grid.name, "impl": impl,
          "iter_time_s": t_iter, "setup_s": setup_s, "timing_note": note,
          "dt_s": float(dt), "dtype": str(dtype),
-         "min_traffic_MB": traffic / 1e6,
+         "min_traffic_MB": traffic / 1e6, **extra,
          "note": "full vector-invariant SWE SSP-RK3 step (3 fused stages); "
                  "vs_baseline = min step traffic / 819 GB/s v5e HBM peak"},
     )
@@ -449,12 +491,17 @@ def bench_swe(args):
 
 def bench_conservative(args):
     """BASELINE config 5: CS-LFR-64 conservative remap + semi-Lagrangian
-    departure-point advection (on O64, the structured stencil path)."""
+    departure-point advection (on O64, the padded stencil path).
+
+    Remap executes via the locality-sorted windowed ELL SpMM (linalg
+    WindowedELL): targets sorted by minimum source index, blocked, each block
+    one contiguous window slice + dense MXU contraction."""
     import jax
     import jax.numpy as jnp
 
     from atlas_tpu import Grid
     from atlas_tpu.interpolation import Interpolation
+    from atlas_tpu.linalg import WindowedELL, windowed_ell_apply
     from atlas_tpu.model.semi_lagrangian import SemiLagrangianAdvection
 
     dtype = jnp.dtype(args.dtype)
@@ -462,18 +509,28 @@ def bench_conservative(args):
     tgt = Grid("O64" if not args.quick else "O16")
     t0 = time.time()
     remap = Interpolation("conservative-spherical-polygon", cs, tgt)
+    well = WindowedELL(remap.idx, remap.w, cs.size)
     setup_cons = time.time() - t0
-    idx = jnp.asarray(remap.idx)
-    w = jnp.asarray(remap.w, dtype)
     f = jax.random.normal(jax.random.key(0), (cs.size,), dtype)
+
+    # accuracy gate: device windowed result vs host f64 gather-dot
+    out_dev = np.asarray(well.apply(f))
+    f64 = np.asarray(f, np.float64)
+    ref = (f64[remap.idx] * remap.w).sum(axis=1)
+    scale = np.abs(ref).max()
+    max_rel_err = float(np.abs(out_dev - ref).max() / scale)
+    tol = 1e-5 if dtype == jnp.float32 else 1e-12
+    assert max_rel_err < tol, f"remap accuracy gate: {max_rel_err} >= {tol}"
+
+    tabs = well.tables(dtype)
     K = max(args.niter, 20)
 
     def make_chain():
         def make(k):
             @jax.jit
-            def chain(idx, w, f):
+            def chain(f, *tabs):
                 def body(_, f):
-                    out = (f[idx] * w).sum(axis=1)
+                    out = windowed_ell_apply(*tabs, well.ntgt, well.W, f)
                     return f + out.mean() * jnp.asarray(1e-30, dtype)
 
                 return jnp.sum(jax.lax.fori_loop(0, k, body, f))
@@ -482,7 +539,7 @@ def bench_conservative(args):
 
         return make(1), make(K), K
 
-    t_cons, note_c = _fori_pair(make_chain, idx, w, f)
+    t_cons, note_c = _fori_pair(make_chain, f, *tabs)
 
     # semi-Lagrangian advection step on the target reduced grid
     t0 = time.time()
@@ -509,7 +566,10 @@ def bench_conservative(args):
 
     t_sl, note_sl = _fori_pair(make_chain_sl, q, u, v)
     ntgt, kmax = remap.idx.shape
-    traffic = (cs.size + 2 * ntgt * kmax + ntgt) * jnp.dtype(dtype).itemsize
+    # windowed traffic: window reads + weight blocks + src/tgt streams
+    nb = well.Wt.shape[0]
+    traffic = (cs.size + ntgt + nb * well.B * well.W + nb * well.W
+               + 3 * len(well.tgt_slow) * kmax) * jnp.dtype(dtype).itemsize
     return _emit(
         f"conservative_{cs.name}_to_{tgt.name}_plus_semilag_targetpoints_per_s",
         ntgt / t_cons, "targetpoints/s",
@@ -517,11 +577,15 @@ def bench_conservative(args):
         {"metric_kind": "conservative", "src": cs.name, "tgt": tgt.name,
          "ntgt": int(ntgt), "k_max": int(kmax),
          "remap_iter_s": t_cons, "remap_setup_s": setup_cons,
+         "remap_impl": "windowed-ell",
+         "remap_fast_fraction": well.fast_fraction, "remap_W": well.W,
+         "max_rel_err": max_rel_err,
          "semilag_iter_s": t_sl, "semilag_setup_s": setup_sl,
          "semilag_points_per_s": tgt.size / t_sl,
          "timing_note": f"remap {note_c}; semilag {note_sl}",
          "dtype": str(dtype),
-         "note": "vs_baseline = remap gather traffic / 819 GB/s v5e HBM peak"},
+         "note": "vs_baseline = windowed-ELL traffic / 819 GB/s v5e HBM "
+                 "peak; remap accuracy-gated vs host f64"},
     )
 
 
@@ -533,10 +597,13 @@ def bench_all(args):
     results = {}
     plans = [
         ("gradient", {"metric": "gradient"}),
+        ("gradient_O640_nlev137",
+         {"metric": "gradient", "grid": "O640", "nlev": 137}),
         ("bicubic", {"metric": "bicubic"}),
         ("trans", {"metric": "trans"}),
         ("conservative", {"metric": "conservative"}),
         ("swe", {"metric": "swe", "grid": "O640", "niter": 12}),
+        ("swe_O1280", {"metric": "swe", "grid": "O1280", "niter": 8}),
     ]
     for name, over in plans:
         a = copy.copy(args)
@@ -545,12 +612,14 @@ def bench_all(args):
         try:
             fn = {"gradient": bench_gradient, "bicubic": bench_bicubic,
                   "trans": bench_trans, "conservative": bench_conservative,
-                  "swe": bench_swe}[name]
+                  "swe": bench_swe}[over["metric"]]
             results[name] = fn(a)
         except Exception as e:  # record the failure, keep the matrix going
             results[name] = {"metric": name, "error": f"{type(e).__name__}: {e}"}
     ok = [r for r in results.values() if "error" not in r]
-    headline = results.get("swe", {})
+    headline = results.get("swe_O1280", {})
+    if "error" in headline or not headline:
+        headline = results.get("swe", {})
     _emit(
         "baseline_matrix",
         headline.get("value", 0.0),

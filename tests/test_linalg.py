@@ -63,3 +63,27 @@ def test_fft_roundtrip():
     spec = np.asarray(fft.rfft(x))
     back = np.asarray(fft.irfft(spec, n=64))
     np.testing.assert_allclose(back, x, atol=1e-12)
+
+
+def test_windowed_ell_matches_gather():
+    """Locality-sorted windowed ELL SpMM reproduces the plain gather-dot
+    (reference cache-ordered CSR SpMM, interpolation/method/Method.cc:169-290)."""
+    import numpy as np
+
+    from atlas_tpu.linalg import WindowedELL
+
+    rng = np.random.default_rng(3)
+    nsrc, ntgt, k = 4000, 2500, 6
+    base = rng.integers(0, nsrc - 30, (ntgt, 1))
+    idx = np.minimum(base + rng.integers(0, 30, (ntgt, k)), nsrc - 1)
+    idx[::50] = rng.integers(0, nsrc, (len(idx[::50]), k))  # scattered rows
+    w = rng.standard_normal((ntgt, k))
+    w[:, -1] = 0.0  # padded taps must not widen windows
+    well = WindowedELL(idx, w, nsrc, block=64, max_W=256)
+    assert 0.5 < well.fast_fraction <= 1.0
+    f = rng.standard_normal((nsrc, 3))
+    ref = (f[idx] * w[..., None]).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(well.apply(f)), ref, atol=1e-10)
+    # scalar field path
+    np.testing.assert_allclose(
+        np.asarray(well.apply(f[:, 0])), ref[:, 0], atol=1e-10)

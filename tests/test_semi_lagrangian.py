@@ -70,3 +70,26 @@ def test_meridional_advection_near_pole_stable():
     q = np.asarray(q)
     assert np.isfinite(q).all()
     assert q.max() < 1.5  # no blow-up
+
+
+def test_padded_interp_matches_gather_variant():
+    """interp_cubic_padded (contiguous 4-tap slices from the periodic padded
+    layout) is bit-equivalent to the elementwise-gather evaluation."""
+    import numpy as np
+
+    from atlas_tpu import Grid
+    from atlas_tpu.grid.stencil import (interp_cubic_padded, make_taps,
+                                        pad_field, padded_tables)
+
+    grid = Grid("O16")
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal(grid.size)
+    pts = np.stack([rng.uniform(0, 360, 300), rng.uniform(-88, 88, 300)], -1)
+    t = padded_tables(grid)
+    nxw = t.pop("nxw")
+    taps = make_taps(
+        pad_field(f, t["row_offset"], nxw, t["halo_pos"], t["halo_src"]))
+    a = np.asarray(interp_cubic_padded(t, taps, pts[:, 0], pts[:, 1]))
+    b = np.asarray(
+        interp_structured_cubic(stencil_tables(grid), f, pts[:, 0], pts[:, 1]))
+    np.testing.assert_allclose(a, b, atol=1e-12)

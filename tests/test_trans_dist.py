@@ -95,3 +95,32 @@ def test_sharded_device_path():
     sel = dist.gidx >= 0
     got[:, dist.gidx[sel]] = np.asarray(blocks)[:, sel]
     np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_spectral_functionspace_scatter_gather_roundtrip():
+    """Distributed Spectral function space: scatter to per-part local packed
+    layouts, gather back, and drive the distributed transform roundtrip
+    through the function space (reference Spectral.cc:54-75 gather/scatter
+    through trans)."""
+    from atlas_tpu.functionspace.spectral import Spectral
+
+    t = 15
+    nparts = 4
+    sp = random_spectra(t, nf=2)
+    fss = [Spectral(t, nb_parts=nparts, part=p) for p in range(nparts)]
+    # partition sizes add up and match the distribution
+    assert sum(fs.nspec2 for fs in fss) == fss[0].nb_spectral_coefficients_global
+    locals_ = [fs.scatter(sp) for fs in fss]
+    for fs, loc in zip(fss, locals_):
+        assert loc.shape == (2, fs.nspec2)
+    back = fss[0].gather(locals_)
+    np.testing.assert_array_equal(back, sp)
+
+    # full roundtrip through the function space + distributed transform
+    grid = Grid("F16")
+    dist = TransDistributed(grid, t, nparts=nparts, dtype=np.float64)
+    gp = dist.invtrans(sp)
+    sp2 = dist.dirtrans(gp)
+    # scatter the roundtripped spectra and compare part-locally
+    for fs in fss:
+        np.testing.assert_allclose(fs.scatter(sp2), fs.scatter(sp), atol=1e-10)
