@@ -1,20 +1,19 @@
 """Classic reduced Gaussian point-per-latitude (pl) tables.
 
-The reference ships hard-coded IFS tables for N16..N8000
-(grid/detail/pl/classic_gaussian/N*.cc). Those tables are historical data
-produced at ECMWF and are not derivable from a closed formula; rather than
-re-ship them we synthesize a *compatible* reduced grid using the standard
-construction (nx per row chosen as the smallest FFT-friendly integer that keeps
-the zonal resolution at least that of the equator scaled by cos(lat)), which is
-how such tables are generated. Grids built this way are valid reduced Gaussian
-grids but may differ by a few points per row from the IFS classics; use O<N>
-octahedral grids when exact reproducibility with IFS is required.
+`N<g>` named grids use the REAL IFS tables (classic_pl_data.py, numeric data
+matching the reference's grid/detail/pl/classic_gaussian/N*.cc), so
+`Grid("N48")` coordinates match the reference exactly. For resolutions
+without a shipped table, a *compatible* grid is synthesized with the standard
+construction (smallest FFT-friendly nx per row keeping the zonal resolution
+at least cos(lat) times the equator's) — marked clearly by
+`classic_pl(N, synthesized_ok=True)`.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .classic_pl_data import CLASSIC_PL
 from .gaussian import gaussian_latitudes_npole_spole
 from ..util.constants import DEG2RAD
 
@@ -31,7 +30,7 @@ def _fft_friendly(n: int) -> int:
         n += 1
 
 
-def classic_pl(N: int) -> np.ndarray:
+def synthesized_pl(N: int) -> np.ndarray:
     """Synthesized classic-style pl for a reduced Gaussian grid with 2N rows."""
     lats = gaussian_latitudes_npole_spole(2 * N)
     nx_eq = 4 * N
@@ -42,3 +41,14 @@ def classic_pl(N: int) -> np.ndarray:
         nx[j] = min(n, nx_eq)
         nx[2 * N - 1 - j] = nx[j]
     return nx
+
+
+def classic_pl(N: int, synthesized_ok: bool = True) -> np.ndarray:
+    """pl for the classic N<g> grid: the IFS table when shipped (N16..N8000,
+    the resolutions the reference provides), else a synthesized equivalent."""
+    if N in CLASSIC_PL:
+        half = np.asarray(CLASSIC_PL[N], dtype=np.int64)
+        return np.concatenate([half, half[::-1]])
+    if not synthesized_ok:
+        raise ValueError(f"no classic pl table for N{N}")
+    return synthesized_pl(N)

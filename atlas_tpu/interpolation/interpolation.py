@@ -132,8 +132,15 @@ def Interpolation(config, source, target, cache: "MatrixCache | None" = None):
 
     With `cache` given and a hit on (type, source uid, target uid), setup is
     skipped entirely and the cached weights are wrapped (reference
-    Interpolation(config, fsA, fsB, cache) constructor).
+    Interpolation(config, fsA, fsB, cache) constructor). With
+    `use_cache: true` in the config (or ATLAS_TPU_INTERP_CACHE=1), weights
+    are additionally persisted to the disk cache keyed by (type, src uid,
+    tgt uid) — the reference's interpolation MatrixCache reuse
+    (interpolation/Cache.h:48-146) for expensive setups (conservative
+    remap, finite-element search).
     """
+    import os
+
     config = Config(config) if not isinstance(config, str) else Config(type=config)
     method = config.get_str("type")
     key = _cache_key(method, source, target)
@@ -141,8 +148,34 @@ def Interpolation(config, source, target, cache: "MatrixCache | None" = None):
         m = _CachedMethod(*cache.get(key))
         m._cache_key = key
         return m
+    use_disk = config.get_bool("use_cache", False) or (
+        os.environ.get("ATLAS_TPU_INTERP_CACHE", "0") == "1")
+    path = None
+    if use_disk:
+        import hashlib
+
+        from ..io.cache import cache_path
+
+        h = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+        path = cache_path("interp", f"{method}-{h}")
+        if os.path.exists(path):
+            try:
+                m = _CachedMethod(*MatrixCache.load(key, path).get(key))
+                m._cache_key = key
+                return m
+            except Exception:
+                pass  # unreadable cache entry: rebuild
     m = interpolation_factory.build(method, config, source, target)
     m._cache_key = key
     if cache is not None:
         cache.add(key, m)
+    if path is not None and getattr(m, "_sep", None) is None:
+        # persist (idx, w) — but never force the lazy flat build of the
+        # separable fast path just to cache it
+        try:
+            mc = MatrixCache()
+            mc.add(key, m)
+            mc.save(key, path)
+        except Exception:
+            pass
     return m

@@ -120,3 +120,36 @@ def test_grid_spec_roundtrip():
 def test_unknown_grid_name():
     with pytest.raises(KeyError):
         Grid("X99")
+
+
+def test_classic_n_grid_golden():
+    """Grid("N48") uses the REAL IFS classic pl table — golden values typed
+    from the reference grid/detail/pl/classic_gaussian/N48.cc (TL95)."""
+    golden_n48 = [20, 25, 36, 40, 45, 50, 60, 60, 72, 75, 80, 90, 96, 100,
+                  108, 120, 120, 120, 128, 135, 144, 144, 160, 160, 160, 160,
+                  160, 180, 180, 180, 180, 180, 192, 192, 192, 192, 192, 192,
+                  192, 192, 192, 192, 192, 192, 192, 192, 192, 192]
+    g = Grid("N48")
+    assert g.ny == 96
+    np.testing.assert_array_equal(g.nx[:48], golden_n48)
+    np.testing.assert_array_equal(g.nx[48:], golden_n48[::-1])  # symmetric
+    assert g.size == 2 * sum(golden_n48)
+    # N16 spot values (reference N16.cc, TL31)
+    g16 = Grid("N16")
+    np.testing.assert_array_equal(
+        g16.nx[:6], [20, 27, 32, 40, 45, 48])
+    # coordinates: row 0 starts at lon 0 with uniform spacing 360/nx
+    ll = g.lonlat()
+    np.testing.assert_allclose(ll[1, 0] - ll[0, 0], 360.0 / 20, atol=1e-12)
+
+
+def test_classic_n_grid_synthesized_fallback():
+    """Resolutions without a shipped IFS table synthesize a compatible grid."""
+    from atlas_tpu.grid.classic_gaussian import classic_pl
+
+    pl = classic_pl(20)  # not in the shipped set
+    assert len(pl) == 40 and (pl > 0).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        classic_pl(20, synthesized_ok=False)

@@ -191,3 +191,28 @@ def test_separable_not_taken_for_reduced_target(src):
     assert m._sep is None
     out = np.asarray(m.execute(np.ones(grid.size)))
     np.testing.assert_allclose(out, 1.0, atol=1e-12)
+
+
+def test_disk_interpolation_cache(tmp_path, monkeypatch):
+    """use_cache persists (idx, w) keyed by (type, src uid, tgt uid)
+    (reference interpolation/Cache.h:48-146)."""
+    import time
+
+    monkeypatch.setenv("ATLAS_TPU_CACHE_PATH", str(tmp_path))
+    from atlas_tpu.util.config import Config
+
+    src = Grid("CS-LFR-8") if False else Grid("O16")
+    tgt = np.stack([np.linspace(0, 350, 40), np.linspace(-80, 80, 40)], -1)
+    from atlas_tpu.functionspace import PointCloud
+
+    pc = PointCloud(tgt)
+    cfg = Config(type="k-nearest-neighbours", use_cache=True)
+    m1 = Interpolation(cfg, src, pc)
+    files = list(tmp_path.rglob("*"))
+    assert any(f.is_file() for f in files), "no cache file written"
+    m2 = Interpolation(cfg, src, pc)
+    np.testing.assert_array_equal(m1.idx, m2.idx)
+    np.testing.assert_allclose(m1.w, m2.w)
+    f = np.random.default_rng(0).standard_normal(src.size)
+    np.testing.assert_allclose(
+        np.asarray(m1.execute(f)), np.asarray(m2.execute(f)), atol=1e-12)

@@ -203,3 +203,25 @@ def test_edge_columns():
     np.testing.assert_allclose(out, key)
     s = fs.scatter(fs.gather(key))
     np.testing.assert_allclose(s, key)
+
+
+def test_multihost_scaffolding():
+    """Host-aware mesh helpers (single-host degenerate case on the virtual
+    CPU mesh; SURVEY 5.8 multi-host layout: hosts outer, ICI inner)."""
+    import jax
+
+    from atlas_tpu.parallel.multihost import (flat_mesh, host_aware_mesh,
+                                              initialize_distributed)
+
+    initialize_distributed()  # no-op single process
+    m = host_aware_mesh()
+    assert m.axis_names == ("dcn", "ici")
+    assert m.devices.shape == (1, len(jax.devices()))
+    f = flat_mesh()
+    assert f.devices.shape == (len(jax.devices()),)
+    # the flat mesh is usable for a real sharded computation
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.arange(16.0), NamedSharding(f, P("sp")))
+    assert float(x.sum()) == 120.0

@@ -123,3 +123,52 @@ def test_gmsh_roundtrip(tmp_path):
     keep = mesh.cells.halo == 0
     np.testing.assert_array_equal(r["cells"], mesh.cells.nodes[keep])
     np.testing.assert_allclose(r["fields"]["idx"], f, atol=0)
+
+
+def test_gmsh_binary_roundtrip(tmp_path):
+    """Binary 2.2 write + auto-detected read matches the ascii output
+    (reference GmshIO binary format, output/detail/GmshIO.cc)."""
+    from atlas_tpu import Grid
+    from atlas_tpu.mesh import MeshGenerator
+    from atlas_tpu.output.gmsh import read_gmsh, write_gmsh
+
+    mesh = MeshGenerator("structured").generate(Grid("O8"))
+    f = np.arange(mesh.nodes.size, dtype=float)
+    pa = tmp_path / "a.msh"
+    pb = tmp_path / "b.msh"
+    write_gmsh(mesh, str(pa), fields={"f": f})
+    write_gmsh(mesh, str(pb), fields={"f": f}, binary=True)
+    a = read_gmsh(str(pa))
+    b = read_gmsh(str(pb))
+    np.testing.assert_allclose(b["coords"], a["coords"], atol=1e-9)
+    np.testing.assert_array_equal(b["cells"], a["cells"])
+    np.testing.assert_allclose(b["fields"]["f"], a["fields"]["f"], atol=1e-12)
+
+
+def test_record_compression_endianness_session(tmp_path):
+    """zlib-compressed items, big-endian input normalization, and Session
+    reader reuse (reference atlas_io compression/sessions/endianness)."""
+    from atlas_tpu.io.record import RecordReader, RecordWriter, Session
+
+    path = str(tmp_path / "z.rec")
+    smooth = np.tile(np.arange(100.0), 100)  # highly compressible
+    bigend = np.arange(10, dtype=">f8")
+    (RecordWriter(compression="zlib")
+        .set("smooth", smooth)
+        .set("raw", np.arange(5), compression=None)
+        .set("bigend", bigend)
+        .write(path))
+    r = RecordReader(path)
+    assert r.index["smooth"]["compression"] == "zlib"
+    assert r.index["smooth"]["nbytes"] < r.index["smooth"]["raw_nbytes"] / 2
+    assert r.index["raw"]["compression"] is None
+    np.testing.assert_array_equal(r.read("smooth"), smooth)
+    np.testing.assert_array_equal(r.read("raw"), np.arange(5))
+    out = r.read("bigend")
+    assert out.dtype.byteorder in ("=", "<")  # native on read
+    np.testing.assert_array_equal(out, np.arange(10))
+    with Session() as s:
+        r1 = s.record(path)
+        r2 = s.record(path)
+        assert r1 is r2
+        np.testing.assert_array_equal(s.read(path, "smooth"), smooth)
