@@ -46,7 +46,9 @@ TJS = 16  # default rows per tile (sublane dim); shrinks when VMEM is tight
 
 def pick_tjs(amax, nxw_pad, itemsize=4, budget=12 * 2**20):
     """Largest row tile whose double-buffered packed-S + field blocks fit
-    the ~16 MB VMEM (leaving headroom for scratch and accumulators)."""
+    the ~16 MB VMEM (leaving headroom for scratch and accumulators). amax
+    excludes pole keys (applied as an XLA post-fix), which is what lets the
+    O1280 row tile fit at the Mosaic-minimum tjs=8."""
     for tjs in (16, 8):
         s_bytes = 2 * 2 * amax * tjs * nxw_pad * itemsize  # Sx+Sy, 2 buffers
         f_bytes = 2 * (6 + 3 + 6) * tjs * nxw_pad * itemsize
@@ -61,6 +63,18 @@ def _roll(a, dc):
     if dc == 0:
         return a
     return pltpu.roll(a, -dc % a.shape[-1], axis=a.ndim - 1)
+
+
+def _lane_shift(a, dc):
+    """result[..., c] = a[..., c + dc], zero-padded (XLA-side analog of the
+    kernel's roll + zero-weight kill; used by the pole fix)."""
+    if dc == 0:
+        return a
+    nxw = a.shape[-1]
+    pads = [(0, 0)] * (a.ndim - 1) + [(max(0, -dc), max(0, dc))]
+    ap = jnp.pad(a, pads)
+    start = max(dc, 0)
+    return jax.lax.slice_in_dim(ap, start, start + nxw, axis=a.ndim - 1)
 
 
 def build_swe_stage_kernel(runs, ny_pad, nxw, amax, tjs):
@@ -218,6 +232,10 @@ def swe_stage_pallas(runs, amax, tjs, Sx, Sy, M, hp, up, vp, h, u, v, dt,
             pltpu.VMEM((2, 2, 4, 1, 1, nxw), h.dtype),
             pltpu.SemaphoreType.DMA((2, 2, 4)),
         ],
+        # O1280 tiles need ~16.5 MB of scoped VMEM; raise the Mosaic budget
+        # above the conservative 16 MB default (v5e has headroom)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 2**20)),
         interpret=interpret,
     )(sc, Sx, Sy, M, hp, up, vp, h, u, v,
       h.reshape(ny, 1, nxw), u.reshape(ny, 1, nxw), v.reshape(ny, 1, nxw),
@@ -241,18 +259,17 @@ class PallasShallowWater:
         ny, nxw = s.ny, s.nxw
         self.nxw_pad = -(-nxw // 128) * 128
 
-        # key list: slot 0 = regular self term, optional pole self term, then
-        # all nonzero off-keys (regular + pole)
+        # key list: slot 0 = regular self term, then all nonzero regular
+        # off-keys. POLE keys are NOT packed: they touch only the energy
+        # gradient on the two polar rows (pbc = 0 for div/curl), so they are
+        # applied as a tiny XLA post-fix (_pole_fix) — keeping amax at the
+        # interior count is what fits the O1280 row tile in VMEM at tjs=8.
         items = [((0, 0, False), s.S_total_regular)]
-        if np.abs(s.S_total_pole).sum() > 0:
-            items.append(((0, 0, True), s.S_total_pole))
         for k, S in s.keys_regular.items():
             if k != (0, 0):
                 items.append(((k[0], k[1], False), S))
-        for k, S in s.keys_pole.items():
-            if k != (0, 0):
-                items.append(((k[0], k[1], True), S))
         nk = len(items)
+        self._build_pole_fix(s, model)
 
         # row tile sized to the VMEM budget, THEN rows padded to a multiple
         # (amax below is bounded by nk for the budget estimate)
@@ -314,6 +331,67 @@ class PallasShallowWater:
         self.ny, self.nxw = ny, nxw
         self.dtype = dtype
 
+    # ------------------------------------------------------------ pole fix
+    def _build_pole_fix(self, s, model):
+        """Pole-edge energy-gradient contribution applied in XLA on the polar
+        rows only (physics: Nabla.cc pole-edge corrections, pbc = 0 for
+        div/curl so h is untouched)."""
+        items = []
+        if np.abs(s.S_total_pole).sum() > 0:
+            items.append(((0, 0), s.S_total_pole))
+        for k, S in s.keys_pole.items():
+            if k != (0, 0) and np.abs(S).sum() > 0:
+                items.append((k, S))
+        if not items:
+            self._pole = None
+            return
+        assert all(k[0] == 0 for k, _ in items), \
+            "pole keys are within-row (antipodal) shifts"
+        rows = sorted(set().union(*[
+            set(np.flatnonzero(np.abs(S).sum(axis=(1, 2)) > 0))
+            for _, S in items]))
+        rows = np.asarray(rows, np.int32)
+        nxw_pad = self.nxw_pad
+        dtype = model.dtype
+
+        def padx(a):  # (nr, nxw) -> (nr, nxw_pad)
+            return np.pad(a, ((0, 0), (0, nxw_pad - a.shape[1])))
+
+        from ..util.constants import DEG2RAD as D2R
+
+        self._pole = {
+            "rows": jnp.asarray(rows),
+            "dcs": tuple(int(k[1]) for k, _ in items),
+            "Spx": jnp.asarray(
+                np.stack([padx(S[rows, :, 0]) for _, S in items]), dtype),
+            "Spy": jnp.asarray(
+                np.stack([padx(S[rows, :, 1]) for _, S in items]), dtype),
+            "Mx": jnp.asarray(
+                padx((0.5 * D2R * s.metric_x * s.mask)[rows]), dtype),
+            "My": jnp.asarray(
+                padx((0.5 * D2R * s.metric_y * s.mask)[rows]), dtype),
+        }
+
+    def _pole_fix(self, cur, out, dt, cb):
+        p = self._pole
+        rows = p["rows"]
+        h2, u2, v2 = (x[rows] for x in cur)
+        g = jnp.asarray(GRAVITY, h2.dtype)
+        E2 = g * h2 + jnp.asarray(0.5, h2.dtype) * (u2 * u2 + v2 * v2)
+        accx = jnp.zeros_like(E2)
+        accy = jnp.zeros_like(E2)
+        for k, dc in enumerate(p["dcs"]):
+            Es = _lane_shift(E2, dc)
+            accx = accx + Es * p["Spx"][k]
+            accy = accy + Es * p["Spy"][k]
+        gx = accx * p["Mx"]
+        gy = accy * p["My"]
+        dtc = jnp.asarray(cb, gx.dtype) * jnp.asarray(dt, gx.dtype)
+        oh, ou, ov = out
+        ou = ou.at[rows].add(-dtc * gx)
+        ov = ov.at[rows].add(-dtc * gy)
+        return oh, ou, ov
+
     # ------------------------------------------------------------- field i/o
     def pad(self, f):
         """(ny, nxw) or (1, ny, nxw) layout field -> padded (ny_pad, nxw_pad)."""
@@ -340,10 +418,13 @@ class PallasShallowWater:
         cur = self._fill3(*cur)
         it = self._interpret()
         dt = jnp.asarray(dt, self.dtype)
-        return swe_stage_pallas(self.runs, self.amax, self.tjs, Sx,
-                                Sy, M, *prev, *cur, dt,
-                                jnp.asarray(ca, self.dtype),
-                                jnp.asarray(cb, self.dtype), interpret=it)
+        out = swe_stage_pallas(self.runs, self.amax, self.tjs, Sx,
+                               Sy, M, *prev, *cur, dt,
+                               jnp.asarray(ca, self.dtype),
+                               jnp.asarray(cb, self.dtype), interpret=it)
+        if self._pole is not None:
+            out = self._pole_fix(cur, out, dt, cb)
+        return out
 
     def _rk3(self, huv, dt, Sx, Sy, M):
         s1 = self._stage(huv, huv, dt, 0.0, 1.0, Sx, Sy, M)

@@ -242,6 +242,15 @@ class TransLocal:
         # bucketed parity-split Legendre einsums on the MXU
         rhs = _pack_rhs(spectra, self._im_mask)  # (ncoef, nf*2)
         S, A = self.legendre.apply(rhs, self.precision)
+        if (len(self._fourier_groups) == 1 and self._phase is None
+                and self._fourier_perm is None):
+            # uniform-nx fast path: hemisphere combine + Fourier synthesis
+            # fused without field-major transposes (the m axis feeds the
+            # Fourier GEMM contraction directly)
+            out = _invtrans_fourier_fused(
+                S, A, self._fourier_groups[0][1], self.grid.ny, nf,
+                self.precision)
+            return out[0] if squeeze else out
         # hemispheres: N = S + A, S = S - A -> rows (nf, ny, T+1, 2)
         Fn = jnp.transpose((S + A).reshape(t + 1, half, nf, 2), (2, 1, 0, 3))
         Fs = jnp.transpose((S - A).reshape(t + 1, half, nf, 2), (2, 1, 0, 3))
@@ -439,6 +448,22 @@ class TransLocal:
         out = jnp.stack([jnp.real(picked), jnp.imag(picked)], axis=-1).reshape(nf, -1)
         out = out.astype(self.dtype)
         return out[0] if squeeze else out
+
+
+@partial(jax.jit, static_argnames=("ny", "nf", "precision"))
+def _invtrans_fourier_fused(S, A, M, ny, nf, precision):
+    """(S, A) (t+1, half, nf*2) -> grid values (nf, ny*nx) for a single
+    uniform-nx row group: the hemisphere combine stays m-major and feeds the
+    Fourier GEMM contraction, avoiding the field-major transposes."""
+    t1, half, _ = S.shape
+    N = S + A
+    Sth = (S - A)[:, ::-1][:, 2 * half - ny:]
+    Fc = jnp.concatenate([N, Sth], axis=1).reshape(t1, ny, nf, 2)
+    G = jnp.concatenate([Fc[..., 0], Fc[..., 1]], axis=0)  # (2 t1, ny, nf)
+    vals = jnp.einsum("krn,kx->nrx", G, M,
+                      precision=_PRECISIONS[precision],
+                      preferred_element_type=S.dtype)
+    return vals.reshape(nf, -1)
 
 
 @jax.jit
