@@ -1,0 +1,335 @@
+"""TPU-native fast Fourier synthesis for the spectral transform.
+
+The reference's Fourier stage is a batched complex-to-real FFT per latitude
+circle with per-latitude truncation (trans/local/TransLocal.cc:1104+, FFTW
+backends linalg/fft/FFT.h:84-105). On TPU, XLA's FFT custom call is both slow
+(4x slower than a direct synthesis GEMM at T639) and memory-hungry (3 GB
+temporaries at T1279) — measured on v5e. The MXU is the fast unit, so the
+n log n algorithm is re-derived as GEMM stages:
+
+FOUR-STEP GEMM FFT (uniform row length L, n1 | L, n2 = L / n1):
+    out[x2 + n2 x1] = Re sum_m c_m e^{2 pi i m x / L},   m = m1 + n1 m2
+      A: B[m1, x2]  = sum_{m2} c[m1 + n1 m2] E2[m2, x2]   (MXU, depth 2*M2)
+      B: B        *= e^{2 pi i m1 x2 / L}                  (VPU twiddle)
+      C: out       = Re sum_{m1} B[m1, x2] E1[m1, x1]      (MXU, depth 2*n1)
+    Per-point cost: 2*n1 + 4*ceil((T+1)/n1) MACs instead of the direct
+    GEMM's 2*(T+1) — 7.6x fewer FLOPs at T639, 12x at T1279 — with the
+    dominant stage C at contraction depth 2*n1 = 128 (full MXU). Splitting
+    m2 recursively adds further log-levels; at T <= 2047 one level is
+    already within 20% of the n log n FLOP count on this machine because
+    stage C's depth-128 GEMM runs at ~4x the efficiency of a depth-8 one.
+
+REDUCED GRIDS (per-row nx, e.g. octahedral O1280): per-row FFT lengths do
+not batch, so rows are synthesized on ONE uniform circle of L >= nxmax
+points (four-step above, all rows batched), then resampled to each row's
+own nx equally spaced points with a W-tap Kaiser-Bessel NUFFT kernel:
+      c_m  <- c_m / phihat(m)                (kernel deconvolution, folded
+                                              into the truncation mask)
+      line  = fourstep(c, L)                 (uniform synthesis)
+      out_e = sum_j shift(line, j) * W_j     (W static lane shifts times
+                                              precomputed weight planes —
+                                              no gathers; W_j is zero at
+                                              slots no target maps to)
+      out   = out_e[point slots]             (one monotone take)
+The per-row oversampling sigma = L / (2 m_act + 1) >= 2 puts the kernel
+error below 1e-7 at W = 12 — under f32 roundoff.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _divisors(n):
+    out = []
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            out += [d, n // d]
+        d += 1
+    return sorted(set(out))
+
+
+def pick_split(L, T):
+    """Pick n1 | L minimizing the per-point MAC count 2 n1 + 4 ceil((T+1)/n1)
+    subject to n2 = L/n1 >= 128 (measured on v5e: the batched stage-C GEMM
+    needs a lane-aligned x2 batch; n2 < 128 configs run up to 2x slower
+    regardless of nominal FLOPs). Returns None if L has no usable factor
+    (caller falls back to the direct GEMM)."""
+    best = None
+    for min_n2 in (128, 64, 2):
+        for n1 in _divisors(L):
+            if n1 < 8 or n1 > 256 or L // n1 < min_n2:
+                continue
+            m2 = -(-(T + 1) // n1)
+            cost = 2 * n1 + 4 * m2
+            key = (cost, -n1)
+            if best is None or key < best[0]:
+                best = (key, n1)
+        if best is not None:
+            return best[1]
+    return None
+
+
+def _fourstep_tables(L, n1, T, dtype):
+    """Host-built stage tables for one uniform length L. The stage-C table
+    FOLDS the twiddle: EC = [Re; -Im] of e^{2 pi i m1 x / L} reshaped over
+    x = x2 + n2 x1 -> (x1, x2), so stage C is a single x2-batched GEMM and
+    no separate twiddle pass (or its HBM round-trip) exists."""
+    n2 = L // n1
+    M2 = -(-(T + 1) // n1)
+    m2 = np.arange(M2)
+    x2 = np.arange(n2)
+    E2r = np.cos(2 * np.pi * np.outer(m2, x2) / n2)
+    E2i = np.sin(2 * np.pi * np.outer(m2, x2) / n2)
+    # stacked real operands: [cr; ci] (2 M2) contraction
+    E2B_r = np.concatenate([E2r, -E2i], axis=0)  # -> Br
+    E2B_i = np.concatenate([E2i, E2r], axis=0)   # -> Bi
+    m1 = np.arange(n1)
+    th = 2 * np.pi * np.outer(m1, np.arange(L)) / L  # (n1, L)
+    TC = np.cos(th).reshape(n1, n1, n2)  # (m1, x1, x2)
+    TS = np.sin(th).reshape(n1, n1, n2)
+    EC = np.concatenate([TC, -TS], axis=0)  # (2 n1, x1, x2); G = [Br; Bi]
+    return dict(
+        n1=n1, n2=n2, M2=M2,
+        E2r=jnp.asarray(E2B_r, dtype), E2i=jnp.asarray(E2B_i, dtype),
+        EC=jnp.asarray(EC, dtype),
+    )
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "M2", "precision"))
+def fourstep_apply(Fre, Fim, E2r, E2i, EC, n1, n2, M2, precision):
+    """Fre/Fim: (nf, ny, T+1) per-row spectra (already row-masked and, for
+    the resample path, kernel-deconvolved) -> (nf, ny, L) real values."""
+    prec = _PRECISIONS[precision]
+    nf, ny, t1 = Fre.shape
+    pad = n1 * M2 - t1
+    if pad:
+        Fre = jnp.pad(Fre, ((0, 0), (0, 0), (0, pad)))
+        Fim = jnp.pad(Fim, ((0, 0), (0, 0), (0, pad)))
+    # c[m1 + n1 m2] -> (m2, m1); stack re/im on the contraction axis
+    cr = Fre.reshape(nf, ny, M2, n1)
+    ci = Fim.reshape(nf, ny, M2, n1)
+    X = jnp.concatenate([cr, ci], axis=2)  # (nf, ny, 2 M2, n1)
+    Br = jnp.einsum("fymn,mx->fynx", X, E2r, precision=prec,
+                    preferred_element_type=Fre.dtype)
+    Bi = jnp.einsum("fymn,mx->fynx", X, E2i, precision=prec,
+                    preferred_element_type=Fre.dtype)
+    G = jnp.concatenate([Br, Bi], axis=2)  # (nf, ny, 2 n1, n2)
+    out = jnp.einsum("fykx,kzx->fyzx", G, EC, precision=prec,
+                     preferred_element_type=Fre.dtype)  # (nf, ny, x1, x2)
+    return out.reshape(nf, ny, n1 * n2)
+
+
+def _kb_kernel(t, W, beta):
+    """Kaiser-Bessel phi(t), |t| <= W/2 (numpy, setup only)."""
+    x = np.clip(1.0 - (2.0 * t / W) ** 2, 0.0, None)
+    return np.i0(beta * np.sqrt(x)) / np.i0(beta)
+
+
+def _kb_hat(m, L, W, beta):
+    """Fourier transform of the discrete KB kernel at mode m (exact DFT of
+    the sampled kernel — what the synthesis actually convolves with)."""
+    j = np.arange(-W // 2, W // 2 + 1)
+    phi = _kb_kernel(np.abs(j).astype(np.float64), W, beta)
+    return (phi[None, :] * np.cos(2 * np.pi * np.outer(m, j) / L)).sum(axis=1)
+
+
+class FourierSynthesis:
+    """Fourier stage of the inverse spherical-harmonic transform.
+
+    Selects per (grid, T):
+      'gemm'      small T or unfactorable lengths: per-row-group direct GEMM
+                  (the caller's existing tables);
+      'fourstep'  uniform-nx grid with factorable nx: four-step GEMM FFT;
+      'resample'  reduced grid: uniform four-step at L + KB shift-resample.
+    """
+
+    # measured on v5e: below this the direct GEMM's single big einsum wins
+    # on dispatch overhead; above it the four-step FLOP saving dominates
+    MIN_T_FOURSTEP = 160
+    W_TAPS = 12
+
+    def __init__(self, grid, truncation, dtype, x0, mode="auto"):
+        self.grid = grid
+        self.T = int(truncation)
+        self.dtype = jnp.dtype(dtype)
+        nx = grid.nx.astype(np.int64)
+        self.uniform = int(nx.min()) == int(nx.max())
+        self.kind = "gemm"
+        self._tabs = None
+        T = self.T
+        if mode == "gemm" or (mode == "auto" and T < self.MIN_T_FOURSTEP):
+            return
+        if self.uniform:
+            L = int(nx[0])
+            n1 = pick_split(L, T)
+            if n1 is None or (mode == "auto"
+                              and 2 * n1 + 4 * (-(-(T + 1) // n1))
+                              >= 2 * (T + 1)):
+                return
+            self.kind = "fourstep"
+            self.L = L
+            self._tabs = _fourstep_tables(L, n1, T, self.dtype)
+            return
+        # reduced grid: uniform synthesis length L (multiple of 256, sigma>=2
+        # for the most-truncated row)
+        mact_max = int(min(T, (int(nx.max()) - 1) // 2))
+        L = -(-max(int(nx.max()), 2 * (2 * mact_max + 1)) // 256) * 256
+        while pick_split(L, T) is None:
+            L += 256
+        n1 = pick_split(L, T)
+        self.kind = "resample"
+        self.L = L
+        self._tabs = _fourstep_tables(L, n1, T, self.dtype)
+        self._build_resample(grid, nx, T, L, x0)
+
+    # ------------------------------------------------------------- resample
+    def _build_resample(self, grid, nx, T, L, x0):
+        W = self.W_TAPS
+        beta = np.pi * W * (1.0 - 0.5 / 2.0) * 0.98  # sigma = 2 KB rule
+        self._beta = beta
+        ny = grid.ny
+        mm = np.arange(T + 1)
+        # deconvolution: divide modes by the discrete kernel transform
+        phihat = _kb_hat(mm, L, W, beta)  # (T+1,)
+        self._deconv = 1.0 / phihat
+
+        offs = grid.row_offset
+        # per-point continuous position on the L-circle (x0 shift is applied
+        # upstream as a spectral phase, so positions are relative to x=0)
+        yy = np.zeros(grid.size, np.int64)
+        tt = np.zeros(grid.size, np.float64)
+        rr = np.zeros(grid.size, np.int64)
+        for r in range(ny):
+            n = int(nx[r])
+            u = np.arange(n) * (L / n)
+            y = np.round(u).astype(np.int64)
+            sl = slice(offs[r], offs[r] + n)
+            yy[sl] = y
+            tt[sl] = u - y
+            rr[sl] = r
+        # injective within a row (s = L/nx >= 1); weight planes per tap
+        j0 = -(W // 2 - 1)
+        planes = np.zeros((W, ny, L))
+        for k in range(W):
+            j = j0 + k
+            w = _kb_kernel(np.abs(tt - j), W, beta)
+            planes[k, rr, yy] = w
+        self._planes = jnp.asarray(planes, self.dtype)
+        self._take = jnp.asarray((rr * L + yy).astype(np.int32))
+        self._shifts = tuple(range(j0, j0 + W))
+
+    def scale_spectra(self, Fre, Fim):
+        """Apply kernel deconvolution (resample path only) on (..., T+1)."""
+        if self.kind != "resample":
+            return Fre, Fim
+        d = jnp.asarray(self._deconv, Fre.dtype)
+        return Fre * d, Fim * d
+
+    # ---------------------------------------------------------------- apply
+    def apply(self, Fre, Fim, precision):
+        """(nf, ny, T+1) row spectra -> (nf, grid.size) values. For the
+        'gemm' kind the caller keeps its own path; here kind != 'gemm'."""
+        t = self._tabs
+        line = fourstep_apply(
+            Fre, Fim, t["E2r"], t["E2i"], t["EC"],
+            t["n1"], t["n2"], t["M2"], precision)
+        if self.kind == "fourstep":
+            return line.reshape(line.shape[0], -1)
+        return _resample_apply(line, self._planes, self._take, self._shifts)
+
+
+@partial(jax.jit, static_argnames=("shifts",))
+def _resample_apply(line, planes, take, shifts):
+    """W static lane slices x weight planes, then one monotone take.
+
+    line: (nf, ny, L). Layout note: this field-major variant re-reads the
+    weight planes once per field — fine for few fields; the hot path is the
+    fused field-MINOR variant inside invtrans_fourstep_fused."""
+    nf, ny, L = line.shape
+    lo, hi = -shifts[0], shifts[-1]
+    # circular pad once; each tap is then a STATIC slice (rolls materialize
+    # a full copy each and OOM at O1280 scale)
+    lp = jnp.concatenate([line[..., L - lo:], line, line[..., :hi]], axis=-1)
+    acc = line * planes[lo][None]
+    for k, dc in enumerate(shifts):
+        if dc == 0:
+            continue
+        acc = acc + jax.lax.slice_in_dim(
+            lp, dc + lo, dc + lo + L, axis=-1) * planes[k][None]
+    return acc.reshape(nf, ny * L)[:, take]
+
+
+@partial(jax.jit, static_argnames=("ny", "nf", "n1", "n2", "M2", "precision",
+                                   "shifts"))
+def invtrans_fourstep_fused(S, A, mult, phc, phs, E2r, E2i, EC,
+                            planes, take, ny, nf, n1, n2, M2, precision,
+                            shifts):
+    """Hemisphere combine + four-step synthesis (+ optional KB resample),
+    all m-major — no (t+1, ny, nf) -> (nf, ny, t+1) transpose.
+
+    S, A: (t+1, half, nf*2) bucketed-Legendre outputs. mult: (ny, t+1)
+    row truncation mask (x kernel deconvolution) or None. phc/phs: (ny, t+1)
+    x0 phase or None. planes/take/shifts: resample tables or None/().
+    Returns (nf, grid.size)."""
+    prec = _PRECISIONS[precision]
+    t1, half, _ = S.shape
+    N = S + A
+    Sth = (S - A)[:, ::-1][:, 2 * half - ny:]
+    F = jnp.concatenate([N, Sth], axis=1).reshape(t1, ny, nf, 2)
+    Fre, Fim = F[..., 0], F[..., 1]  # (t1, ny, nf)
+    if phc is not None:
+        c, s = phc.T[:, :, None], phs.T[:, :, None]
+        Fre, Fim = Fre * c - Fim * s, Fre * s + Fim * c
+    if mult is not None:
+        m = mult.T[:, :, None]
+        Fre, Fim = Fre * m, Fim * m
+    pad = n1 * M2 - t1
+    if pad:
+        Fre = jnp.pad(Fre, ((0, pad), (0, 0), (0, 0)))
+        Fim = jnp.pad(Fim, ((0, pad), (0, 0), (0, 0)))
+    cr = Fre.reshape(M2, n1, ny, nf)
+    ci = Fim.reshape(M2, n1, ny, nf)
+    X = jnp.concatenate([cr, ci], axis=0)  # (2 M2, n1, ny, nf)
+    if planes is None:
+        # uniform grid: field-major output, flat row-major x == grid order
+        Br = jnp.einsum("mnyf,mx->yfnx", X, E2r, precision=prec,
+                        preferred_element_type=S.dtype)
+        Bi = jnp.einsum("mnyf,mx->yfnx", X, E2i, precision=prec,
+                        preferred_element_type=S.dtype)
+        G = jnp.concatenate([Br, Bi], axis=2)  # (ny, nf, 2 n1, n2)
+        out = jnp.einsum("yfkx,kzx->fyzx", G, EC, precision=prec,
+                         preferred_element_type=S.dtype)
+        return out.reshape(nf, ny * n1 * n2)
+    # reduced grid: field-MINOR so the (W, ny, L) weight planes broadcast
+    # across the field lane dim (read once per call, not once per field)
+    Br = jnp.einsum("mnyf,mx->ynxf", X, E2r, precision=prec,
+                    preferred_element_type=S.dtype)
+    Bi = jnp.einsum("mnyf,mx->ynxf", X, E2i, precision=prec,
+                    preferred_element_type=S.dtype)
+    G = jnp.concatenate([Br, Bi], axis=1)  # (ny, 2 n1, n2, nf)
+    line = jnp.einsum("ykxf,kzx->yzxf", G, EC, precision=prec,
+                      preferred_element_type=S.dtype)
+    L = n1 * n2
+    line = line.reshape(ny, L, nf)
+    lo, hi = -shifts[0], shifts[-1]
+    lp = jnp.concatenate([line[:, L - lo:], line, line[:, :hi]], axis=1)
+    acc = line * planes[lo][:, :, None]
+    for k, dc in enumerate(shifts):
+        if dc == 0:
+            continue
+        acc = acc + jax.lax.slice_in_dim(
+            lp, dc + lo, dc + lo + L, axis=1) * planes[k][:, :, None]
+    return acc.reshape(ny * L, nf)[take].T

@@ -49,7 +49,7 @@ class _BucketedLegendre:
     packing) is recorded in self.waste — logged by benchmarks.
     """
 
-    def __init__(self, V, ms, ns, t, dtype, sym_parity=0):
+    def __init__(self, V, ms, ns, t, dtype, sym_parity=0, keep_host=False):
         # V: (nlat_half, ncoef) table packed in spectral_index order.
         # sym_parity: value of (n-m)%2 that lands in the "sym" slot (the
         # derivative tables H have flipped parity -> pass 1).
@@ -80,18 +80,51 @@ class _BucketedLegendre:
                 mask = (nm[None, :] <= (t - mlist[:, None])) & (g >= 0)
                 gidx = np.where(mask, g, 0)
                 tab = V[:, gidx] * mask[None, :, :]  # (half, mb, sb)
-                per_parity.append(
-                    (
-                        jnp.asarray(np.transpose(tab, (1, 0, 2)), dtype),
-                        jnp.asarray(gidx.astype(np.int32)),
-                        jnp.asarray(mask.astype(V.dtype), dtype),
-                    )
+                npdt = np.dtype(dtype)
+                host = (
+                    np.ascontiguousarray(
+                        np.transpose(tab, (1, 0, 2))).astype(npdt),
+                    gidx.astype(np.int32),
+                    mask.astype(npdt),
                 )
+                per_parity.append(host)
                 padded += (m1 - m0) * sb
             tables.append(tuple(x for pp in per_parity for x in pp))
-        self.tables = tuple(tables)
+        # host copies kept only until packed() persists them (cache path)
+        self._host_tables = tuple(tables) if keep_host else None
+        self.tables = tuple(
+            tuple(jnp.asarray(a) for a in tab) for tab in tables)
         exact = (t + 1) * (t + 2) // 2
         self.waste = padded / exact - 1.0
+
+    # ------------------------------------------------- packed-table caching
+    def packed(self) -> dict:
+        """Final device tables as host arrays for io.cache.save_packed —
+        a cache hit replays the exact f32 device layout (reference analog:
+        mmap'd LegendreCache blobs, TransLocal.cc:652-711)."""
+        out = {"waste": np.asarray([self.waste]),
+               "bounds": np.asarray(self.bounds, np.int64)}
+        src = getattr(self, "_host_tables", None) or self.tables
+        for i, tab in enumerate(src):
+            for j, a in enumerate(tab):
+                out[f"b{i}_{j}"] = np.asarray(a)
+        self._host_tables = None  # free the host copies
+        return out
+
+    @classmethod
+    def from_packed(cls, arrs: dict, dtype):
+        obj = cls.__new__(cls)
+        obj.waste = float(arrs["waste"][0])
+        obj.bounds = [tuple(b) for b in np.asarray(arrs["bounds"])]
+        tables = []
+        for i in range(len(obj.bounds)):
+            tab = []
+            for j in range(6):
+                # arrays were saved in their final device dtypes
+                tab.append(jnp.asarray(arrs[f"b{i}_{j}"]))
+            tables.append(tuple(tab))
+        obj.tables = tuple(tables)
+        return obj
 
     def apply(self, rhs, precision="highest"):
         """rhs: (ncoef, q) packed coefficients -> (S, A) each (t+1, half, q)."""
@@ -117,7 +150,8 @@ def _bucketed_leg_apply(tables, rhs, precision):
 
 class TransLocal:
     def __init__(self, grid, truncation: int, dtype=jnp.float32,
-                 use_cache: bool = False, precision: str = "highest"):
+                 use_cache: bool = False, precision: str = "highest",
+                 fourier: str = "auto"):
         from ..grid.structured import StructuredGrid
 
         self.grid = grid
@@ -127,6 +161,9 @@ class TransLocal:
         # MXU matmul precision for f32: "highest" = full f32 (6-pass bf16),
         # "high" = 3-pass bf16 (~1e-6 rel), "default" = raw bf16 (~1e-3 rel)
         self.precision = precision
+        # Fourier stage: "auto" picks four-step/resample at large T,
+        # "gemm"/"fast" force the direct GEMM / the fast path (tests, bench)
+        self.fourier_mode = fourier
         if not isinstance(grid, StructuredGrid):
             raise TypeError("TransLocal requires a structured grid")
         self._setup()
@@ -152,14 +189,17 @@ class TransLocal:
         # Cached product = the COMPACT (nlat_half, ncoef) table; the bucketed
         # device tensors are rebuilt from it (cheap gathers).
         cached = None
-        cpath = None
+        cpath = pdir = None
+        packed = None
         if self.use_cache:
-            from ..io.cache import cache_path, load_legendre
+            from ..io.cache import cache_path, load_legendre, load_packed
 
             cpath = cache_path("legendre", f"T{t}-{grid.uid()[:12]}")
             cached = load_legendre(cpath)
+            pdir = cpath + f".packed-{self.dtype.name}"
+            packed = load_packed(pdir)
         if cached is not None:
-            P = cached
+            P = cached  # mmap'd: pages fault in only where read
         else:
             P = legendre_polynomials(t, sinlat)  # (nlat_half, ncoef)
             if cpath is not None:
@@ -167,7 +207,20 @@ class TransLocal:
 
                 save_legendre(cpath, P)
         self.P_compact = P
-        self.legendre = _BucketedLegendre(P, ms, ns, t, self.dtype)
+        if packed is not None:
+            # cache hit on the FINAL packed f32 device tables: pay only the
+            # host->device copy (mmap, no f64 rebuild/gather)
+            self.legendre = _BucketedLegendre.from_packed(packed, self.dtype)
+        else:
+            self.legendre = _BucketedLegendre(P, ms, ns, t, self.dtype,
+                                              keep_host=pdir is not None)
+            if pdir is not None:
+                from ..io.cache import save_packed
+
+                try:
+                    save_packed(pdir, self.legendre.packed())
+                except OSError:
+                    pass
         # m=0 imaginary coefficients are identically zero
         self._im_mask = jnp.asarray((ms != 0).astype(np.float64), self.dtype)
 
@@ -191,32 +244,51 @@ class TransLocal:
         except Exception:
             self.quad_w = None
 
-        # Fourier synthesis as per-row-group real GEMMs on the MXU: for rows
-        # of length nx, out[x] = sum_m Re(F_m) cos(m lam_x) - Im(F_m)
-        # sin(m lam_x), lam_x = 2 pi x / nx. One (2(T+1), nx) matrix per
-        # distinct nx (m > (nx-1)/2 rows zeroed = the Nyquist mask); complex
-        # irfft + full-grid scatter replaced by GEMM + one gather. 10-50x
-        # faster than jnp.fft.irfft at T<=320 sizes on TPU.
+        # Fourier stage selection (fourier.py): four-step GEMM FFT at large
+        # T (uniform grids), + KB shift-resample for reduced grids; the
+        # direct per-row-group GEMM below for small T / unfactorable nx
+        # (reference: batched c2r FFT, TransLocal.cc:1104+, FFT.h:84-105)
+        from .fourier import FourierSynthesis
+
         mm = np.arange(t + 1)
+        self.fourier = FourierSynthesis(grid, t, self.dtype, self.x0,
+                                        mode=self.fourier_mode)
+        self._fourier_mult = None
+        if self.fourier.kind != "gemm":
+            mact = np.minimum(t, (self.nx - 1) // 2)  # per-row Nyquist
+            mask = (mm[None, :] <= mact[:, None]).astype(np.float64)
+            if self.fourier.kind == "resample":
+                mult = mask * self.fourier._deconv[None, :]
+            else:
+                mult = None if mask.all() else mask
+            self._fourier_mult = (None if mult is None
+                                  else jnp.asarray(mult, self.dtype))
         offs = grid.row_offset
         groups = []
-        perm = np.empty(grid.size, np.int64)
-        pos = 0
-        for nx in np.unique(self.nx):
-            rows = np.flatnonzero(self.nx == nx)
-            nx = int(nx)
-            lam = 2.0 * np.pi * np.arange(nx) / nx
-            act = mm <= min(t, (nx - 1) // 2)
-            M = np.zeros((2 * (t + 1), nx))
-            M[: t + 1][act] = np.cos(np.outer(mm[act], lam))
-            M[t + 1 :][act] = -np.sin(np.outer(mm[act], lam))
-            groups.append((rows, jnp.asarray(M, self.dtype)))
-            for i, r in enumerate(rows):
-                perm[offs[r] : offs[r] + nx] = pos + i * nx + np.arange(nx)
-            pos += len(rows) * nx
+        if self.fourier.kind == "gemm":
+            # direct synthesis: out[x] = sum_m Re(F_m) cos(m lam_x) -
+            # Im(F_m) sin(m lam_x); one (2(T+1), nx) matrix per distinct nx
+            # (Nyquist mask folded in). Faster than the four-step below
+            # T~160 (single big einsum, no stage overheads).
+            perm = np.empty(grid.size, np.int64)
+            pos = 0
+            for nx in np.unique(self.nx):
+                rows = np.flatnonzero(self.nx == nx)
+                nx = int(nx)
+                lam = 2.0 * np.pi * np.arange(nx) / nx
+                act = mm <= min(t, (nx - 1) // 2)
+                M = np.zeros((2 * (t + 1), nx))
+                M[: t + 1][act] = np.cos(np.outer(mm[act], lam))
+                M[t + 1 :][act] = -np.sin(np.outer(mm[act], lam))
+                groups.append((rows, jnp.asarray(M, self.dtype)))
+                for i, r in enumerate(rows):
+                    perm[offs[r] : offs[r] + nx] = pos + i * nx + np.arange(nx)
+                pos += len(rows) * nx
+            self._fourier_perm = None if np.array_equal(
+                perm, np.arange(grid.size)) else jnp.asarray(perm)
+        else:
+            self._fourier_perm = None
         self._fourier_groups = groups
-        self._fourier_perm = None if np.array_equal(
-            perm, np.arange(grid.size)) else jnp.asarray(perm)
         if np.any(self.x0 != 0.0):
             phi = np.outer(self.x0, mm)  # (ny, t+1)
             self._phase = (jnp.asarray(np.cos(phi), self.dtype),
@@ -242,6 +314,9 @@ class TransLocal:
         # bucketed parity-split Legendre einsums on the MXU
         rhs = _pack_rhs(spectra, self._im_mask)  # (ncoef, nf*2)
         S, A = self.legendre.apply(rhs, self.precision)
+        if self.fourier.kind != "gemm":
+            out = self._fourstep_fused(S, A, nf)
+            return out[0] if squeeze else out
         if (len(self._fourier_groups) == 1 and self._phase is None
                 and self._fourier_perm is None):
             # uniform-nx fast path: hemisphere combine + Fourier synthesis
@@ -268,15 +343,39 @@ class TransLocal:
         out = self._fourier_rows(F, nf)
         return out[0] if squeeze else out
 
+    def _fourstep_fused(self, S, A, nf):
+        """Four-step (+resample) fused Fourier path (fourier.py)."""
+        from .fourier import invtrans_fourstep_fused
+
+        fs = self.fourier
+        tb = fs._tabs
+        phc, phs = self._phase if self._phase is not None else (None, None)
+        planes = fs._planes if fs.kind == "resample" else None
+        take = fs._take if fs.kind == "resample" else None
+        shifts = fs._shifts if fs.kind == "resample" else ()
+        return invtrans_fourstep_fused(
+            S, A, self._fourier_mult, phc, phs, tb["E2r"], tb["E2i"],
+            tb["EC"], planes, take, self.grid.ny, nf,
+            tb["n1"], tb["n2"], tb["M2"], self.precision, shifts)
+
     def _fourier_rows(self, F, nf):
         """F: (nf, ny, T+1, 2) per-row Fourier coefficients -> (nf, size).
 
         Per-row-group real GEMM against the precomputed cos/-sin synthesis
         matrix (Nyquist mask folded into the matrix), then a single gather
-        into grid point order (identity on regular grids).
+        into grid point order (identity on regular grids). Large-T grids
+        route through the four-step/resample path instead.
         """
         t = self.truncation
         Fre, Fim = F[..., 0], F[..., 1]
+        if self.fourier.kind != "gemm":
+            if self._phase is not None:
+                c, s = self._phase
+                Fre, Fim = Fre * c - Fim * s, Fre * s + Fim * c
+            if self._fourier_mult is not None:
+                Fre = Fre * self._fourier_mult[None]
+                Fim = Fim * self._fourier_mult[None]
+            return self.fourier.apply(Fre, Fim, self.precision)
         if self._phase is not None:  # shifted rows: rotate by exp(i m x0)
             c, s = self._phase
             Fre, Fim = Fre * c - Fim * s, Fre * s + Fim * c
@@ -518,7 +617,8 @@ class LegendreCacheCreator:
     def cache_exists(self) -> bool:
         import os
 
-        return os.path.exists(self.cache_path())
+        p = self.cache_path()
+        return os.path.exists(p + ".npy") or os.path.exists(p)
 
     def create(self) -> str:
         """Build (and persist) the tables; returns the cache file path."""

@@ -224,18 +224,24 @@ def _invtrans_ref_f64(tr, sp):
 
 def bench_trans(args):
     """BASELINE config 3 at reference scale: TransLocal inverse transform
-    T639 -> F640 (m-bucketed Legendre MXU einsums + row-group Fourier GEMM),
-    with per-stage breakdown and a host-f64 accuracy gate."""
+    (m-bucketed Legendre MXU einsums + four-step GEMM-FFT Fourier stage,
+    with KB shift-resample on reduced grids), per-stage breakdown and a
+    host-f64 accuracy gate. Default T639 -> F640; the matrix also runs
+    T1279 -> O1280 (reference parallel-transform scale)."""
     import jax
     import jax.numpy as jnp
 
     from atlas_tpu import Grid
     from atlas_tpu.trans import TransLocal, nspec2, spectral_index
+    from atlas_tpu.trans.fourier import invtrans_fourstep_fused
     from atlas_tpu.trans.trans_local import (
         _bucketed_leg_apply, _invtrans_fourier_fused, _pack_rhs)
 
     dtype = jnp.dtype(args.dtype)
-    T, gname = (639, "F640") if not args.quick else (42, "F24")
+    T = getattr(args, "trans_T", 639)
+    gname = getattr(args, "trans_grid", "F640")
+    if args.quick:
+        T, gname = 42, "F24"
     grid = Grid(gname)
     t0 = time.time()
     tr = TransLocal(grid, T, dtype=dtype, use_cache=True,
@@ -261,19 +267,39 @@ def bench_trans(args):
     leg_tabs = tr.legendre.tables
     im_mask = tr._im_mask
     prec = args.precision
+    fs = tr.fourier
+    kind = fs.kind
 
-    # ---- full invtrans chain (tables as ARGS, not closure constants) ------
+    # ---- Fourier apply (big tables as ARGS, not closure constants) --------
+    if kind != "gemm":
+        tb = fs._tabs
+        phc, phs = tr._phase if tr._phase is not None else (None, None)
+        planes = fs._planes if kind == "resample" else None
+        take = fs._take if kind == "resample" else None
+        shifts = fs._shifts if kind == "resample" else ()
+        four_ops = (tr._fourier_mult, planes, take)
+
+        def four_apply(S, A, mult, planes, take):
+            return invtrans_fourstep_fused(
+                S, A, mult, phc, phs, tb["E2r"], tb["E2i"], tb["EC"],
+                planes, take, grid.ny, nf,
+                tb["n1"], tb["n2"], tb["M2"], prec, shifts)
+    else:
+        M_four = tr._fourier_groups[0][1]
+        four_ops = ()
+
+        def four_apply(S, A):
+            return _invtrans_fourier_fused(S, A, M_four, grid.ny, nf, prec)
+
+    # ---- full invtrans chain ----------------------------------------------
     def make_full():
         def make(k):
-            M_four = tr._fourier_groups[0][1]
-
             @jax.jit
-            def chain(sp, tabs, imm):
+            def chain(sp, tabs, imm, *fops):
                 def body(_, sp):
                     rhs = _pack_rhs(sp, imm)
                     S, A = _bucketed_leg_apply(tabs, rhs, prec)
-                    gp = _invtrans_fourier_fused(S, A, M_four, grid.ny, nf,
-                                                 prec)
+                    gp = four_apply(S, A, *fops)
                     return sp + gp.mean() * jnp.asarray(1e-30, dtype)
 
                 return jnp.sum(jax.lax.fori_loop(0, k, body, sp))
@@ -282,7 +308,7 @@ def bench_trans(args):
 
         return make(1), make(K), K
 
-    t_iter, note = _fori_pair(make_full, sp, leg_tabs, im_mask)
+    t_iter, note = _fori_pair(make_full, sp, leg_tabs, im_mask, *four_ops)
 
     # ---- Legendre-only chain ---------------------------------------------
     rhs0 = _pack_rhs(sp, im_mask)
@@ -303,51 +329,186 @@ def bench_trans(args):
 
     t_leg, _ = _fori_pair(make_leg, rhs0, leg_tabs)
 
-    # ---- Fourier-only chain ----------------------------------------------
-    F0 = jax.random.normal(jax.random.key(1), (nf, grid.ny, T + 1, 2), dtype)
+    # ---- Fourier-only chain (S, A held fixed) ------------------------------
+    S0, A0 = _bucketed_leg_apply(leg_tabs, rhs0, prec)
 
     def make_fou():
         def make(k):
             @jax.jit
-            def chain(F):
-                def body(_, F):
-                    gp = tr._fourier_rows(F, nf)
-                    return F + gp.mean() * jnp.asarray(1e-30, dtype)
+            def chain(S, A, *fops):
+                def body(_, S):
+                    gp = four_apply(S, A, *fops)
+                    return S + gp.mean() * jnp.asarray(1e-30, dtype)
 
-                return jnp.sum(jax.lax.fori_loop(0, k, body, F))
+                return jnp.sum(jax.lax.fori_loop(0, k, body, S))
 
             return chain
 
         return make(1), make(K), K
 
-    t_fou, _ = _fori_pair(make_fou, F0)
+    t_fou, _ = _fori_pair(make_fou, S0, A0, *four_ops)
 
     # exact (compact) Legendre FLOPs; padding waste logged separately
     macs = half * (T + 1) * (T + 2) // 2 * nf2
     flops = 2 * macs
-    # Fourier GEMM FLOPs: per row 2(T+1) x nx real MACs per field
-    fou_flops = 2 * nf * int(np.sum(2 * (T + 1) * grid.nx))
+    # Fourier FLOPs actually executed by the chosen algorithm
+    if kind != "gemm":
+        tb = fs._tabs
+        n1, M2 = tb["n1"], tb["M2"]
+        pts = grid.ny * fs.L
+        fou_flops = 2 * nf * pts * (2 * n1 + 4 * M2)
+        if kind == "resample":
+            fou_flops += 2 * nf * pts * len(fs._shifts)
+    else:
+        fou_flops = 2 * nf * int(np.sum(2 * (T + 1) * grid.nx))
     # effective MXU peak for the chosen f32 matmul precision (multi-pass
     # bf16 emulation: high = 3 passes, highest = 6)
     eff_peak = {"default": 197e12, "high": 197e12 / 3,
                 "highest": 197e12 / 6}[prec]
+    detail = {
+        "metric_kind": "trans", "truncation": T, "grid": gname, "nf": nf,
+        "iter_time_s": t_iter, "legendre_s": t_leg, "fourier_s": t_fou,
+        "setup_s": setup_s, "timing_note": note,
+        "legendre_GFLOP": flops / 1e9, "fourier_GFLOP": fou_flops / 1e9,
+        "fourier_impl": kind,
+        "legendre_padding_waste": tr.legendre.waste,
+        "legendre_table_MB": sum(
+            int(np.prod(t_[0].shape)) for t_ in leg_tabs) * 4 / 1e6,
+        "precision": prec, "max_rel_err": max_rel_err,
+        "dtype": str(dtype),
+        "note": "vs_baseline = (compact Legendre + executed Fourier) FLOPs "
+                "over the FULL iteration time, against the precision-"
+                "adjusted v5e MXU peak (197 TF/s bf16; /3 high, /6 "
+                "highest); accuracy-gated vs host f64",
+    }
+    if kind != "gemm":
+        detail["fourstep"] = {"n1": int(tb["n1"]), "n2": int(tb["n2"]),
+                              "M2": int(tb["M2"]), "L": int(fs.L)}
     return _emit(
         f"translocal_T{T}_to_{gname}_nf{nf}_gridpoints_per_s",
         grid.size * nf / t_iter, "gridpoints/s",
-        (flops / t_leg) / eff_peak,
-        {"metric_kind": "trans", "truncation": T, "grid": gname, "nf": nf,
-         "iter_time_s": t_iter, "legendre_s": t_leg, "fourier_s": t_fou,
-         "setup_s": setup_s, "timing_note": note,
-         "legendre_GFLOP": flops / 1e9, "fourier_GFLOP": fou_flops / 1e9,
-         "legendre_padding_waste": tr.legendre.waste,
-         "legendre_table_MB": sum(
-             int(np.prod(t_[0].shape)) for t_ in leg_tabs) * 4 / 1e6,
-         "precision": prec, "max_rel_err": max_rel_err,
-         "dtype": str(dtype),
-         "note": "vs_baseline = compact Legendre FLOPs / t_legendre over "
-                 "the precision-adjusted v5e MXU peak (197 TF/s bf16; "
-                 "/3 high, /6 highest); accuracy-gated vs host f64"},
+        ((flops + fou_flops) / t_iter) / eff_peak,
+        detail,
     )
+
+
+def _np_shift2(a, dj, dc):
+    """numpy zero-padded shift: res[j, c] = a[j+dj, c+dc] (2D)."""
+    ny, nxw = a.shape[-2:]
+    res = np.zeros_like(a)
+    j_lo, j_hi = max(0, -dj), min(ny, ny - dj)
+    c_lo, c_hi = max(0, -dc), min(nxw, nxw - dc)
+    res[..., j_lo:j_hi, c_lo:c_hi] = a[..., j_lo + dj:j_hi + dj,
+                                       c_lo + dc:c_hi + dc]
+    return res
+
+
+def _swe_stage_ref_f64(model, h, u, v, dt, rows=None):
+    """Host f64 Euler stage out = s + dt*tend(fill(s)) on a row band, plus a
+    pointwise first-order roundoff bound (abs-value accumulation of the same
+    expression). Mirrors _swe_tendencies / the fused Pallas stage; physics per
+    reference numerics/fvm/Nabla.cc:96-558. rows=(j0, j1) restricts the
+    returned arrays to that band (computed with one ghost row each side).
+
+    Returns (h', u', v', bound_h, bound_u, bound_v) on the band."""
+    from atlas_tpu.model.shallow_water import GRAVITY
+    from atlas_tpu.util.constants import DEG2RAD
+
+    s = model.sfvm.shifts
+    ny = s.ny
+    if rows is None:
+        rows = (0, ny)
+    j0, j1 = rows
+    # halo fill on the (cheap) full columns, then slice band + 1 ghost row
+    def fill(f):
+        f = f.astype(np.float64).copy()
+        f[s.halo_rows, s.halo_dst] = f[s.halo_rows, s.halo_src]
+        return f
+
+    lo, hi = max(0, j0 - 1), min(ny, j1 + 1)
+    mt, mb = j0 - lo, hi - j1  # ghost margins actually present
+    hf, uf, vf = fill(h)[lo:hi], fill(u)[lo:hi], fill(v)[lo:hi]
+    cl = s.cos_lat[lo:hi]
+    g = GRAVITY
+    # stage channels (same five the Pallas kernel streams)
+    E = g * hf + 0.5 * (uf * uf + vf * vf)
+    hu = hf * uf
+    hvc = hf * vf * cl
+    uc = uf * cl
+    chans = (E, hu, hvc, uc, vf)
+    chans_a = tuple(np.abs(c) for c in chans)
+
+    regs = [((0, 0), s.S_total_regular)] + [
+        (k, S) for k, S in s.keys_regular.items()]
+    poles = [((0, 0), s.S_total_pole)] + [
+        (k, S) for k, S in s.keys_pole.items()]
+    accs = [np.zeros_like(hf) for _ in range(4)]   # Ex, Ey, D, Z
+    bnds = [np.zeros_like(hf) for _ in range(4)]
+    for (dj, dc), S in regs:
+        Sx, Sy = S[lo:hi, :, 0], S[lo:hi, :, 1]
+        sh = [c if (dj, dc) == (0, 0) else _np_shift2(c, dj, dc)
+              for c in chans]
+        sha = [c if (dj, dc) == (0, 0) else _np_shift2(c, dj, dc)
+               for c in chans_a]
+        accs[0] += sh[0] * Sx
+        accs[1] += sh[0] * Sy
+        accs[2] += sh[1] * Sx + sh[2] * Sy
+        accs[3] += sh[4] * Sx - sh[3] * Sy
+        aSx, aSy = np.abs(Sx), np.abs(Sy)
+        bnds[0] += sha[0] * aSx
+        bnds[1] += sha[0] * aSy
+        bnds[2] += sha[1] * aSx + sha[2] * aSy
+        bnds[3] += sha[4] * aSx + sha[3] * aSy
+    for (dj, dc), S in poles:  # pole edges: energy gradient only (pbc = 0)
+        Sx, Sy = S[lo:hi, :, 0], S[lo:hi, :, 1]
+        Es = chans[0] if (dj, dc) == (0, 0) else _np_shift2(chans[0], dj, dc)
+        Ea = chans_a[0] if (dj, dc) == (0, 0) else _np_shift2(
+            chans_a[0], dj, dc)
+        accs[0] += Es * Sx
+        accs[1] += Es * Sy
+        bnds[0] += Ea * np.abs(Sx)
+        bnds[1] += Ea * np.abs(Sy)
+
+    mask = s.mask[lo:hi]
+    Mx = 0.5 * DEG2RAD * s.metric_x[lo:hi] * mask
+    My = 0.5 * DEG2RAD * s.metric_y[lo:hi] * mask
+    Md = 0.5 * DEG2RAD * (s.metric_y * s.inv_cos)[lo:hi] * mask
+    cor = model.coriolis[lo:hi]
+    gx, gy = accs[0] * Mx, accs[1] * My
+    div, zeta = accs[2] * Md, accs[3] * Md
+    bgx, bgy = bnds[0] * Mx, bnds[1] * My
+    bdiv, bzeta = bnds[2] * Md, bnds[3] * Md
+    fz = cor + zeta
+    th = -div * mask
+    tu = (fz * vf - gx) * mask
+    tv = (-fz * uf - gy) * mask
+    afz = np.abs(cor) + bzeta
+    bth = bdiv * mask
+    btu = (afz * np.abs(vf) + bgx) * mask
+    btv = (afz * np.abs(uf) + bgy) * mask
+    sl = slice(mt, hf.shape[0] - mb)
+    out = []
+    for f, t, bt in ((hf, th, bth), (uf, tu, btu), (vf, tv, btv)):
+        out.append((f + dt * t)[sl])
+        out.append((np.abs(f) + dt * bt)[sl])
+    return out[0], out[2], out[4], out[1], out[3], out[5]
+
+
+# multiplier on the pointwise eps32 * abs-sum roundoff bound: the stage chains
+# ~20 f32 operations per output (14-key stencil + metric/axpy), so genuine
+# f32 roundoff sits well under 64x the single-op bound while a sign/indexing
+# bug exceeds it by orders of magnitude (reference gate analog:
+# src/tests/numerics/test_fvm_nabla_validation.cc:235-254)
+GATE_C = 64.0
+
+
+def _gate_vs_bound(got, ref, bound, mask, eps, what):
+    """Pointwise gate: |got - ref| <= GATE_C * eps * (bound + |ref|)."""
+    denom = eps * (bound + np.abs(ref)) + 1e-300
+    ratio = float((np.abs(got - ref) * mask / denom).max())
+    assert ratio < GATE_C, f"{what} accuracy gate: err/bound ratio " \
+        f"{ratio:.1f} >= {GATE_C}"
+    return ratio
 
 
 def bench_swe(args):
@@ -383,24 +544,58 @@ def bench_swe(args):
         ps = PallasShallowWater(model)
         huv = ps.pad_state(state)
 
-        # accuracy cross-check: one step vs the independent XLA shift path
-        # (the XLA reference program fails to compile at O1280 size — the
-        # kernel is cross-checked at O640 and below, where both paths build)
+        # ---- accuracy gate 1 (every size): one fused Euler stage vs a host
+        # f64 reference of the same discrete stage, pointwise against an
+        # abs-sum roundoff bound, on row bands covering pole + mid-latitude +
+        # equator kernel runs (reference hard-gates every operator:
+        # src/tests/numerics/test_fvm_nabla_validation.cc:235-254)
+        s = model.sfvm.shifts
+        ny = s.ny
+        h64, u64, v64 = (np.asarray(state[k], np.float64)[0]
+                         for k in ("h", "u", "v"))
+        stage_dev = ps._stage(huv, huv, dt, 0.0, 1.0, ps.Sx, ps.Sy, ps.M)
+        got = [np.asarray(x)[:ny, :s.nxw] for x in stage_dev]
+        w = 2 * ps.tjs
+        bands = sorted({(0, w), (ny // 4, ny // 4 + w),
+                        (ny // 2 - w // 2, ny // 2 + w // 2),
+                        (ny - w, ny)})
+        eps = float(np.finfo(np.float32).eps)
+        ratio = 0.0
+        for j0, j1 in bands:
+            rh, ru, rv, bh, bu, bv = _swe_stage_ref_f64(
+                model, h64, u64, v64, float(dt), rows=(j0, j1))
+            m = s.mask[j0:j1]
+            for gg, rr, bb, nm in ((got[0][j0:j1], rh, bh, "h"),
+                                   (got[1][j0:j1], ru, bu, "u"),
+                                   (got[2][j0:j1], rv, bv, "v")):
+                ratio = max(ratio, _gate_vs_bound(
+                    gg, rr, bb, m, eps, f"SWE stage {nm} rows {j0}:{j1}"))
+        extra["stage_err_bound_ratio_vs_f64"] = ratio
+        extra["stage_gate_bands"] = [list(b) for b in bands]
+
+        # ---- accuracy gate 2 (<= O640, where the XLA program still builds):
+        # full RK3 step pallas vs the independent XLA shift path, normalized
+        # by PHYSICAL scales — v ~ 0 analytically in Williamson-2, so a
+        # per-field max|v| denominator just measures roundoff / roundoff
         if grid.size <= 2_000_000:
             got1 = ps.unpad_state(ps.step(huv, dt))
             ref1 = _swe_rk3(model._tbl(), state, dt)
+            from atlas_tpu.model.shallow_water import GRAVITY
+            vel_scale = max(float(jnp.abs(ref1["u"]).max()),
+                            float(np.sqrt(GRAVITY
+                                          * float(jnp.abs(ref1["h"]).max()))))
+            scales = {"h": float(jnp.abs(ref1["h"]).max()),
+                      "u": vel_scale, "v": vel_scale}
             max_rel_err = max(
-                float(jnp.abs(got1[k] - ref1[k]).max()
-                      / jnp.abs(ref1[k]).max())
+                float(jnp.abs(got1[k] - ref1[k]).max()) / scales[k]
                 for k in ("h", "u", "v"))
-            assert max_rel_err < 5e-4, f"pallas-vs-xla SWE step: {max_rel_err}"
+            assert max_rel_err < 5e-5, f"pallas-vs-xla SWE step: {max_rel_err}"
             extra["max_rel_err_vs_xla"] = max_rel_err
-        else:
-            # physical sanity instead: height field stays in the Williamson-2
-            # analytic range over the measured steps
-            h1 = np.asarray(ps.unpad_state(ps.step(huv, dt))["h"])
-            assert np.isfinite(h1).all()
-            extra["h_range_after_step_m"] = [float(h1.min()), float(h1.max())]
+        h1 = np.asarray(ps.unpad_state(ps.step(huv, dt))["h"])
+        assert np.isfinite(h1).all()
+        real = np.flatnonzero(s.mask.ravel())
+        hr = h1[0].ravel()[real]
+        extra["h_range_after_step_m"] = [float(hr.min()), float(hr.max())]
 
         sum_fn = jax.jit(lambda x: jnp.sum(x[0]))
         K = max(args.niter, 10)
@@ -608,6 +803,9 @@ def bench_all(args):
          {"metric": "gradient", "grid": "O640", "nlev": 137}),
         ("bicubic", {"metric": "bicubic"}),
         ("trans", {"metric": "trans"}),
+        ("trans_T1279_O1280",
+         {"metric": "trans", "trans_T": 1279, "trans_grid": "O1280",
+          "nlev": 32}),
         ("conservative", {"metric": "conservative"}),
         ("swe", {"metric": "swe", "grid": "O640", "niter": 12}),
         ("swe_O1280", {"metric": "swe", "grid": "O1280", "niter": 8}),
@@ -639,7 +837,10 @@ def bench_all(args):
 
 
 def _gradient_ref_f64(sf, fpad64):
-    """Host f64 gradient via the same shift tables (accuracy gate)."""
+    """Host f64 gradient via the same shift tables, plus a pointwise abs-sum
+    roundoff bound (the same expression over |f|, |S|) for a condition-aware
+    accuracy gate — the f32 error scales with the metric (∝ resolution), so a
+    fixed relative tolerance cannot gate O640 and O320 alike."""
     from atlas_tpu.util.constants import DEG2RAD
 
     s = sf.shifts
@@ -655,16 +856,22 @@ def _gradient_ref_f64(sf, fpad64):
 
     fh = fpad64.copy()
     fh[:, s.halo_rows, s.halo_dst] = fh[:, s.halo_rows, s.halo_src]
+    fa = np.abs(fh)
     S_tot = s.S_total_regular + s.S_total_pole
     accx = fh * S_tot[None, :, :, 0]
     accy = fh * S_tot[None, :, :, 1]
+    bndx = fa * np.abs(S_tot[None, :, :, 0])
+    bndy = fa * np.abs(S_tot[None, :, :, 1])
     for (dj, dc), S in list(s.keys_regular.items()) + list(s.keys_pole.items()):
         fs = shift_np(fh, dj, dc)
+        fsa = np.abs(fs)
         accx = accx + fs * S[None, :, :, 0]
         accy = accy + fs * S[None, :, :, 1]
-    gx = accx * (0.5 * DEG2RAD * s.metric_x * s.mask)[None]
-    gy = accy * (0.5 * DEG2RAD * s.metric_y * s.mask)[None]
-    return gx, gy
+        bndx = bndx + fsa * np.abs(S[None, :, :, 0])
+        bndy = bndy + fsa * np.abs(S[None, :, :, 1])
+    Mx = (0.5 * DEG2RAD * s.metric_x * s.mask)[None]
+    My = (0.5 * DEG2RAD * s.metric_y * s.mask)[None]
+    return accx * Mx, accy * My, bndx * Mx, bndy * My
 
 
 def bench_gradient(args):
@@ -693,13 +900,15 @@ def bench_gradient(args):
     f_smooth = np.cos(3 * np.deg2rad(ll[:, 0])) * np.cos(
         np.deg2rad(ll[:, 1])) ** 2
     fpad64 = sf.to_layout(f_smooth.astype(np.float64))
-    gx_ref, gy_ref = _gradient_ref_f64(sf, fpad64)
+    gx_ref, gy_ref, bx, by = _gradient_ref_f64(sf, fpad64)
     g_dev = np.asarray(sf.gradient(jnp.asarray(fpad64, dtype)))
+    eps = float(np.finfo(np.dtype(args.dtype)).eps)
+    m = sf.shifts.mask[None]
+    ratio = max(_gate_vs_bound(g_dev[0], gx_ref, bx, m, eps, "gradient x"),
+                _gate_vs_bound(g_dev[1], gy_ref, by, m, eps, "gradient y"))
     scale = max(np.abs(gx_ref).max(), np.abs(gy_ref).max())
     max_rel_err = float(max(np.abs(g_dev[0] - gx_ref).max(),
                             np.abs(g_dev[1] - gy_ref).max()) / scale)
-    tol = 1e-5 if dtype == jnp.float32 else 1e-12
-    assert max_rel_err < tol, f"gradient accuracy gate: {max_rel_err} >= {tol}"
 
     # measure the tunnel round-trip with a trivial dispatch
     tiny = jnp.zeros((8, 128), dtype)
@@ -841,6 +1050,7 @@ def bench_gradient(args):
             "metric_kind": "gradient",
             "grid": args.grid,
             "max_rel_err": max_rel_err,
+            "err_bound_ratio": ratio,
             "npts": int(npts),
             "nlev": nlev,
             "iter_time_s": t_iter,

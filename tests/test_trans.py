@@ -286,3 +286,60 @@ def test_invtrans_grad_analytic():
     scale = np.abs(ref_dx).max()
     np.testing.assert_allclose(dfdx, ref_dx, rtol=0, atol=1e-6 * scale)
     np.testing.assert_allclose(dfdy, ref_dy, rtol=0, atol=1e-6 * scale)
+
+
+def test_fourstep_uniform_matches_gemm():
+    # four-step GEMM FFT (fourier.py) == direct per-row GEMM synthesis on a
+    # uniform grid (reference Fourier stage: TransLocal.cc:1104+)
+    grid = Grid("F24")  # nx = 96 = 2^5 * 3, factorable
+    T = 23
+    tr_g = TransLocal(grid, T, dtype=np.float64, fourier="gemm")
+    tr_f = TransLocal(grid, T, dtype=np.float64, fourier="fast")
+    assert tr_f.fourier.kind == "fourstep"
+    rng = np.random.default_rng(1)
+    spec = rng.normal(size=(3, nspec2(T)))
+    ms, _ = spectral_index(T)
+    spec[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    a = np.asarray(tr_g.invtrans(spec))
+    b = np.asarray(tr_f.invtrans(spec))
+    np.testing.assert_allclose(b, a, atol=1e-11)
+
+
+def test_fourstep_resample_reduced_matches_gemm():
+    # reduced grid: uniform four-step synthesis + Kaiser-Bessel shift
+    # resample == per-row-group GEMM (within the NUFFT kernel error ~1e-7
+    # relative, far below the f32 transform tolerance)
+    grid = Grid("O16")
+    T = 15
+    tr_g = TransLocal(grid, T, dtype=np.float64, fourier="gemm")
+    tr_f = TransLocal(grid, T, dtype=np.float64, fourier="fast")
+    assert tr_f.fourier.kind == "resample"
+    rng = np.random.default_rng(2)
+    spec = rng.normal(size=(2, nspec2(T)))
+    ms, _ = spectral_index(T)
+    spec[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    a = np.asarray(tr_g.invtrans(spec))
+    b = np.asarray(tr_f.invtrans(spec))
+    scale = np.abs(a).max()
+    assert np.abs(b - a).max() / scale < 2e-7
+
+
+def test_fourstep_shifted_rows_phase():
+    # shifted-lon grid (x0 != 0): the spectral phase rotation must survive
+    # the four-step path
+    grid = Grid("S24")  # shifted lon
+    if float(np.abs(grid.xmin).max()) == 0.0:
+        import pytest
+
+        pytest.skip("grid has x0 == 0")
+    T = 23
+    tr_g = TransLocal(grid, T, dtype=np.float64, fourier="gemm")
+    tr_f = TransLocal(grid, T, dtype=np.float64, fourier="fast")
+    rng = np.random.default_rng(3)
+    spec = rng.normal(size=(2, nspec2(T)))
+    ms, _ = spectral_index(T)
+    spec[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    a = np.asarray(tr_g.invtrans(spec))
+    b = np.asarray(tr_f.invtrans(spec))
+    scale = np.abs(a).max()
+    assert np.abs(b - a).max() / scale < 2e-7
