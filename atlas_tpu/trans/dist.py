@@ -118,19 +118,81 @@ class TransDistributed:
 
         self.mloc, self.nmax, self.R, self.half = mloc, nmax, R, half
 
-        # ---- per-device Legendre tables (sym/asym split, north half) ----
+        # ---- packed per-device coefficient layout -------------------------
+        # Slot s on device d holds wavenumber m = d + s*np_; the packed coef
+        # block for slot s spans offs[s]:offs[s+1] with the d = 0 (largest)
+        # extent — the SAME layout on every device (SPMD), with <= np_ zero
+        # slots of tail padding per block. This replaces the dense
+        # (mloc, half, T+1) tables that were 4x-padded on the triangular
+        # spectrum (round-3 verdict: dist.py only ran at toy truncations).
+        extent0 = np.maximum(t + 1 - np.arange(mloc) * np_, 1)
+        offs = np.concatenate([[0], np.cumsum(extent0)]).astype(np.int64)
+        self.slot_offs = offs
+        self.Q = int(offs[-1])
+
+        # slot buckets (halving rule like the serial _BucketedLegendre):
+        # slots in a bucket have extents within ~2x, so per-bucket sb padding
+        # wastes little; bucket structure is shared by all devices.
+        bounds = []
+        s0 = 0
+        while s0 < mloc:
+            s1 = min(mloc, s0 + max(2, (mloc - s0 + 1) // 2))
+            bounds.append((s0, s1))
+            s0 = s1
+        self.slot_bounds = bounds
+
+        # ---- per-device bucketed Legendre tables (sym/asym, north half) ---
         sinlat = np.sin(g.y[:half] * DEG2RAD)
         Pn = legendre_polynomials(t, sinlat)  # (half, ncoef)
         ms, ns = spectral_index(t)
-        parity = (ns - ms) % 2
+        lut = np.full((t + 1, t + 2), -1, np.int64)
+        lut[ms, ns - ms] = np.arange(len(ms))
 
-        P_sym = np.zeros((np_, mloc, half, nmax))
-        P_asym = np.zeros((np_, mloc, half, nmax))
-        dev = ms % np_
-        slot = ms // np_
-        sel_sym = parity == 0
-        P_sym[dev[sel_sym], slot[sel_sym], :, (ns - ms)[sel_sym]] = Pn.T[sel_sym]
-        P_asym[dev[~sel_sym], slot[~sel_sym], :, (ns - ms)[~sel_sym]] = Pn.T[~sel_sym]
+        def build_buckets(Pv, nrows):
+            """Bucketed tables from a (nrows, ncoef) value table.
+
+            Returns a tuple per bucket: (tab_sym, gidx_sym, mask_sym,
+            tab_asym, gidx_asym, mask_asym) with shapes
+            tab (np_, mb, nrows, sb), gidx (mb, sb) into the packed coef
+            axis (device-independent), mask (np_, mb, sb)."""
+            out = []
+            padded = 0
+            for (b0, b1) in bounds:
+                mb = b1 - b0
+                per_parity = []
+                for p in (0, 1):
+                    sb = max(int((extent0[b0] - 1 - p) // 2 + 1), 1)
+                    ss = np.arange(b0, b1)
+                    jj = np.arange(sb)
+                    gidx = offs[ss][:, None] + p + 2 * jj[None, :]
+                    gidx = np.minimum(gidx, self.Q - 1)
+                    tab = np.zeros((np_, mb, nrows, sb))
+                    mask = np.zeros((np_, mb, sb))
+                    for d in range(np_):
+                        mloc_m = d + ss * np_  # (mb,)
+                        nm = p + 2 * jj  # n - m per slot j
+                        valid = nm[None, :] <= (t - mloc_m[:, None])
+                        k = lut[np.clip(mloc_m, 0, t)[:, None],
+                                np.clip(nm, 0, t + 1)[None, :]]
+                        valid &= (k >= 0) & (mloc_m[:, None] <= t)
+                        kc = np.where(valid, k, 0)
+                        tab[d] = np.transpose(
+                            Pv[:, kc] * valid[None], (1, 0, 2))
+                        mask[d] = valid
+                    per_parity.append((tab, gidx.astype(np.int32),
+                                       mask))
+                    padded += np_ * mb * sb
+                out.append(tuple(x for pp in per_parity for x in pp))
+            exact = (t + 1) * (t + 2) // 2
+            return out, padded / exact - 1.0
+
+        buckets, self.leg_waste = build_buckets(Pn, half)
+        self.leg_tables = tuple(
+            tuple(self._shard(a) if a.ndim >= 3 else jnp.asarray(a)
+                  for a in tab) for tab in buckets)
+        self.leg_table_MB = sum(
+            int(np.prod(tab[i].shape)) for tab in buckets for i in (0, 3)
+        ) * np.dtype(self.dtype).itemsize / 1e6
 
         # ---- per-device row geometry (latitude-band decomposition) ----
         nxmax = g.nxmax
@@ -161,23 +223,25 @@ class TransDistributed:
         except Exception:
             pass
 
-        # analysis-side Legendre tables: quadrature-weighted, all rows
+        # analysis-side Legendre tables: quadrature-weighted, all (padded)
+        # rows, in the same slot-bucketed packed form as the synthesis tables
         if self.has_quadrature:
             sin_all = np.sin(g.y * DEG2RAD)
             Pa = legendre_polynomials(t, sin_all)  # (ny, ncoef)
-            Pw = np.zeros((np_, mloc, rows_pad, nmax))
-            Pw[dev, slot, :ny, ns - ms] = (Pa * (0.5 * wq[:ny, None])).T
-            self.Pw = self._shard(Pw)
+            Paw = np.zeros((rows_pad, Pa.shape[1]))
+            Paw[:ny] = Pa * (0.5 * wq[:ny, None])
+            wbuckets, _ = build_buckets(Paw, rows_pad)
+            self.Pw_tables = tuple(
+                tuple(self._shard(a) if a.ndim >= 3 else jnp.asarray(a)
+                      for a in tab) for tab in wbuckets)
         else:
-            self.Pw = None
+            self.Pw_tables = None
 
         # m validity per (device, slot): slot s on device d is m = d + s*np_
         m_of = np.arange(np_)[:, None] + np.arange(mloc)[None, :] * np_
         self.m_of_slot = m_of  # (np_, mloc)
         mvalid = (m_of <= t).astype(np.float64)
 
-        self.P_sym = self._shard(P_sym)
-        self.P_asym = self._shard(P_asym)
         self.xpts = self._shard(xpts.reshape(np_, R, nxmax))
         self.pmask = self._shard(pmask.reshape(np_, R, nxmax))
         self.row_mmax = self._shard(row_mmax.reshape(np_, R).astype(np.int32))
@@ -294,13 +358,32 @@ class TransDistributed:
 
         synth = synth_rows_regular if nx_uniform else synth_rows
 
-        def inv_kernel(coef, P_sym, P_asym, xpts, pmask, row_mmax):
-            """coef: (nf, mloc, nmax, 2) my wavenumbers -> (nf, R, nxmax)."""
-            P_sym, P_asym = P_sym[0], P_asym[0]
+        def leg_apply(rhs, tabs):
+            """rhs (Q, q) packed local coefs -> (S, A) each (mloc, half, q).
+
+            Slot-bucketed MXU einsums — the dist analog of the serial
+            _bucketed_leg_apply (m-bucketed parity-split tables)."""
+            S_parts, A_parts = [], []
+            for (Ps, gs, mks, Pa, ga, mka) in tabs:
+                rs = rhs[gs] * mks[..., None]  # (mb, sb, q)
+                S_parts.append(jnp.einsum("mxs,msq->mxq", Ps, rs))
+                ra = rhs[ga] * mka[..., None]
+                A_parts.append(jnp.einsum("mxs,msq->mxq", Pa, ra))
+            cat = (lambda xs: xs[0] if len(xs) == 1
+                   else jnp.concatenate(xs, axis=0))
+            return cat(S_parts), cat(A_parts)
+
+        def inv_kernel(rhs, tabs, xpts, pmask, row_mmax):
+            """rhs: (Q, nf*2) my packed wavenumbers -> (nf, R, nxmax)."""
+            rhs = rhs[0]
+            tabs = jax.tree_util.tree_map(
+                lambda a: a[0] if a.ndim >= 3 else a, tabs)
             xpts, pmask, row_mmax = xpts[0], pmask[0], row_mmax[0]
-            # Legendre stage: (mloc, half, nmax) x (nf, mloc, nmax, 2)
-            C_sym = jnp.einsum("mxn,fmnc->fmxc", P_sym, coef)
-            C_asym = jnp.einsum("mxn,fmnc->fmxc", P_asym, coef)
+            S, A = leg_apply(rhs, tabs)        # (mloc, half, nf*2)
+            nf = S.shape[-1] // 2
+            to_f = lambda X: jnp.transpose(
+                X.reshape(mloc, half, nf, 2), (2, 0, 1, 3))
+            C_sym, C_asym = to_f(S), to_f(A)
             fnorth = C_sym + C_asym           # (nf, mloc, half, 2)
             fsouth = C_sym - C_asym
             Fs = fsouth[:, :, ::-1][:, :, half * 2 - ny:]
@@ -315,7 +398,9 @@ class TransDistributed:
             c = jnp.take(F, m_perm, axis=1)   # (nf, T+1, R, 2)
             return synth(c, xpts, pmask, row_mmax)
 
-        in_specs = (P(None, ax), P(ax), P(ax), P(ax), P(ax), P(ax))
+        leg_specs = jax.tree_util.tree_map(
+            lambda a: P(ax) if a.ndim >= 3 else P(), self.leg_tables)
+        in_specs = (P(ax), leg_specs, P(ax), P(ax), P(ax))
         self._inv = jax.jit(jax.shard_map(
             inv_kernel, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(None, ax),
@@ -346,11 +431,14 @@ class TransDistributed:
             c = jax.lax.fori_loop(0, nchunks, body, c)
             return c[:, : t + 1]
 
-        def dir_kernel(vals, Pw, xpts, pmask, row_mmax, row_nx, mvalid):
-            """vals: (nf, R, nxmax) my rows -> (nf, mloc, nmax, 2) my m's."""
-            Pw = Pw[0]
+        Q = self.Q
+
+        def dir_kernel(vals, tabs, xpts, pmask, row_mmax, row_nx):
+            """vals: (nf, R, nxmax) my rows -> (Q, nf*2) my packed m's."""
+            tabs = jax.tree_util.tree_map(
+                lambda a: a[0] if a.ndim >= 3 else a, tabs)
             xpts, pmask = xpts[0], pmask[0]
-            row_mmax, row_nx, mvalid = row_mmax[0], row_nx[0], mvalid[0]
+            row_mmax, row_nx = row_mmax[0], row_nx[0]
             c = analyse_rows(vals, xpts, pmask, row_mmax, row_nx)
             # natural m -> source-block order, split rows for transposition
             cb = jnp.take(
@@ -361,28 +449,55 @@ class TransDistributed:
             # concat_axis counts positions AFTER the split axis is removed:
             # post-removal shape (nf, mloc, R, 2) -> rows are axis 2
             cb = jax.lax.all_to_all(cb, ax, split_axis=1, concat_axis=2)
-            cm = cb.reshape(cb.shape[0], mloc, npart * R, 2)  # my m, all rows
-            # Gaussian-quadrature Legendre stage
-            out = jnp.einsum("myn,fmyc->fmnc", Pw, cm)
-            return out * mvalid[:, None, None]
+            nf = cb.shape[0]
+            # my m, all rows, q-packed: (mloc, npart*R, nf*2)
+            cm = jnp.transpose(
+                cb.reshape(nf, mloc, npart * R, 2), (1, 2, 0, 3)
+            ).reshape(mloc, npart * R, nf * 2)
+            # quadrature Legendre stage: per-bucket MXU einsums scattered
+            # into the packed (Q, nf*2) coef layout (bucket slot positions
+            # are disjoint, so .at[].add never collides)
+            out = _varying(jnp.zeros((Q, nf * 2), dtype))
+            s0 = 0
+            for (Ps, gs, mks, Pa, ga, mka) in tabs:
+                mb = Ps.shape[0]
+                cmb = jax.lax.dynamic_slice_in_dim(cm, s0, mb, 0)
+                for tab, g_, mk in ((Ps, gs, mks), (Pa, ga, mka)):
+                    blk = jnp.einsum("mys,myq->msq", tab, cmb)
+                    out = out.at[g_].add(blk * mk[..., None])
+                s0 += mb
+            return out
 
-        in_specs_d = (P(None, ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax))
-        self._dir = jax.jit(jax.shard_map(
-            dir_kernel, mesh=self.mesh, in_specs=in_specs_d,
-            out_specs=P(None, ax),
-        ))
+        leg_specs_d = jax.tree_util.tree_map(
+            lambda a: P(ax) if a.ndim >= 3 else P(), self.Pw_tables
+        ) if self.Pw_tables is not None else None
+        if self.Pw_tables is not None:
+            in_specs_d = (P(None, ax), leg_specs_d, P(ax), P(ax), P(ax),
+                          P(ax))
+            self._dir = jax.jit(jax.shard_map(
+                dir_kernel, mesh=self.mesh, in_specs=in_specs_d,
+                out_specs=P(ax),
+            ))
+        else:
+            self._dir = None
 
     # ---------------------------------------------------------- public API
     def _coef_msharded(self, spectra):
-        """Packed (nf, nspec2) -> m-sharded coef (nf, np*mloc, nmax, 2)."""
+        """Packed (nf, nspec2) -> m-sharded PACKED rhs (np, Q, nf*2).
+
+        Device d's block holds its round-robin wavenumbers in the slot-offset
+        layout (slot_offs): coefficient (m, n) of field f sits at
+        [m % np, slot_offs[m // np] + (n - m), 2*f + (0 re | 1 im)]."""
         t = self.truncation
         ms, ns = spectral_index(t)
         nf = spectra.shape[0]
-        coef = np.zeros((nf, self.nparts * self.mloc, self.nmax, 2), spectra.dtype)
-        pos = (ms % self.nparts) * self.mloc + ms // self.nparts
-        coef[:, pos, ns - ms, 0] = spectra[:, 0::2]
-        coef[:, pos, ns - ms, 1] = spectra[:, 1::2]
-        return coef
+        rhs = np.zeros((self.nparts, self.Q, nf * 2), spectra.dtype)
+        dev = ms % self.nparts
+        pos = self.slot_offs[ms // self.nparts] + (ns - ms)
+        for f in range(nf):
+            rhs[dev, pos, 2 * f] = spectra[f, 0::2]
+            rhs[dev, pos, 2 * f + 1] = spectra[f, 1::2]
+        return rhs
 
     def invtrans(self, spectra):
         """Packed real spectra (nf, nspec2) or (nspec2,) -> grid fields."""
@@ -390,10 +505,10 @@ class TransDistributed:
         squeeze = spectra.ndim == 1
         if squeeze:
             spectra = spectra[None]
-        coef = jnp.asarray(self._coef_msharded(spectra), self.dtype)
-        coef = jax.device_put(
-            coef, NamedSharding(self.mesh, P(None, self.AXIS)))
-        blocks = self._inv(coef, self.P_sym, self.P_asym,
+        rhs = jax.device_put(
+            jnp.asarray(self._coef_msharded(spectra), self.dtype),
+            NamedSharding(self.mesh, P(self.AXIS)))
+        blocks = self._inv(rhs, self.leg_tables,
                            self.xpts, self.pmask, self.row_mmax)
         blocks = np.asarray(blocks)            # (nf, np*R, nxmax)
         out = np.zeros((spectra.shape[0], self.grid.size), blocks.dtype)
@@ -401,19 +516,20 @@ class TransDistributed:
         out[:, self.gidx[sel]] = blocks[:, sel]
         return out[0] if squeeze else out
 
-    def invtrans_sharded(self, coef_sharded):
-        """Device-resident path: m-sharded coef -> latitude-band blocks.
+    def invtrans_sharded(self, rhs_sharded):
+        """Device-resident path: m-sharded packed rhs -> lat-band blocks.
 
-        coef_sharded: (nf, np*mloc, nmax, 2) sharded P(None, 'sp').
-        Returns (nf, np*R, nxmax) sharded P(None, 'sp') — feed directly into
-        latitude-band-sharded grid-space operators without leaving the mesh.
+        rhs_sharded: (np, Q, nf*2) sharded P('sp') in the _coef_msharded
+        layout. Returns (nf, np*R, nxmax) sharded P(None, 'sp') — feed
+        directly into latitude-band-sharded grid-space operators without
+        leaving the mesh.
         """
-        return self._inv(coef_sharded, self.P_sym, self.P_asym,
+        return self._inv(rhs_sharded, self.leg_tables,
                          self.xpts, self.pmask, self.row_mmax)
 
     def dirtrans(self, fields):
         """Grid fields -> packed spectra via distributed Gaussian quadrature."""
-        if not self.has_quadrature:
+        if not self.has_quadrature or self._dir is None:
             raise NotImplementedError("dirtrans requires a global Gaussian grid")
         fields = np.asarray(fields)
         squeeze = fields.ndim == 1
@@ -426,13 +542,16 @@ class TransDistributed:
         blocks = jax.device_put(
             jnp.asarray(blocks, self.dtype),
             NamedSharding(self.mesh, P(None, self.AXIS)))
-        out = self._dir(blocks, self.Pw, self.xpts, self.pmask,
-                        self.row_mmax, self.row_nx, self.mvalid)
-        out = np.asarray(out)                  # (nf, np*mloc, nmax, 2)
+        out = self._dir(blocks, self.Pw_tables, self.xpts, self.pmask,
+                        self.row_mmax, self.row_nx)
+        # out_specs P(ax) concatenates device blocks: (np*Q, nf*2)
+        out = np.asarray(out).reshape(self.nparts, self.Q, nf * 2)
         t = self.truncation
         ms, ns = spectral_index(t)
-        pos = (ms % self.nparts) * self.mloc + ms // self.nparts
+        dev = ms % self.nparts
+        pos = self.slot_offs[ms // self.nparts] + (ns - ms)
         spectra = np.empty((nf, nspec2(t)), out.dtype)
-        spectra[:, 0::2] = out[:, pos, ns - ms, 0]
-        spectra[:, 1::2] = out[:, pos, ns - ms, 1]
+        for f in range(nf):
+            spectra[f, 0::2] = out[dev, pos, 2 * f]
+            spectra[f, 1::2] = out[dev, pos, 2 * f + 1]
         return spectra[0] if squeeze else spectra

@@ -82,12 +82,12 @@ def test_sharded_device_path():
     t = 15
     dist = TransDistributed(grid, t, nparts=8, dtype=np.float64)
     sp = random_spectra(t, nf=1)
-    coef = dist._coef_msharded(sp)
+    rhs = dist._coef_msharded(sp)  # (np, Q, nf*2) packed layout
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    coef = jax.device_put(
-        jax.numpy.asarray(coef), NamedSharding(dist.mesh, P(None, "sp")))
-    blocks = dist.invtrans_sharded(coef)
+    rhs = jax.device_put(
+        jax.numpy.asarray(rhs), NamedSharding(dist.mesh, P("sp")))
+    blocks = dist.invtrans_sharded(rhs)
     assert blocks.shape == (1, 8 * dist.R, grid.nxmax)
     # matches the assembled host-side result
     ref = dist.invtrans(sp)
@@ -124,3 +124,19 @@ def test_spectral_functionspace_scatter_gather_roundtrip():
     # scatter the roundtripped spectra and compare part-locally
     for fs in fss:
         np.testing.assert_allclose(fs.scatter(sp2), fs.scatter(sp), atol=1e-10)
+
+
+def test_dist_invtrans_T159_bucketed_tables():
+    """Production-class truncation through the slot-bucketed packed tables:
+    dist == serial at T159 -> F160, and the bucketed tables stay within ~2x
+    of the exact triangular-spectrum footprint (the old dense layout was
+    ~4x; reference packs per-m minimally, TransLocal.cc:602-631)."""
+    grid = Grid("F160")
+    t = 159
+    serial = TransLocal(grid, t, dtype=np.float64)
+    dist = TransDistributed(grid, t, nparts=8, dtype=np.float64)
+    sp = random_spectra(t, nf=2, seed=11)
+    a = np.asarray(serial.invtrans(sp))
+    b = np.asarray(dist.invtrans(sp))
+    np.testing.assert_allclose(b, a, atol=1e-10 * np.abs(a).max())
+    assert dist.leg_waste < 1.0, dist.leg_waste
