@@ -174,9 +174,18 @@ class ShardedShallowWater:
 
     # ------------------------------------------------------------- field i/o
     def scatter(self, f):
-        """Serial (ny, nxw) or (nlev, ny, nxw) -> sharded (nparts, ny_blk, nxw_pad)."""
+        """Serial (ny, nxw) or (1, ny, nxw) -> sharded (nparts, ny_blk, nxw_pad).
+
+        SWE state is single-level by construction; nlev > 1 is rejected
+        rather than silently truncated (multi-level distributed fields go
+        through ShardedFvm / DistributedStructuredColumns instead)."""
         f = np.asarray(f)
         if f.ndim == 3:
+            if f.shape[0] != 1:
+                raise ValueError(
+                    f"ShardedShallowWater.scatter got nlev={f.shape[0]}; "
+                    "the SWE state is single-level — use ShardedFvm for "
+                    "multi-level fields")
             f = f[0]
         out = np.zeros((self.nparts, self.ny_blk, self.nxw_pad), f.dtype)
         for p in range(self.nparts):

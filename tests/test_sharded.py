@@ -166,3 +166,25 @@ def test_sharded_laplacian_single_exchange_matches_serial():
     with pytest.raises(ValueError):
         ShardedFvm(grid, nparts=4, partitioner="bands", halo=1).laplacian(
             sh.scatter_field(f_mesh[: grid.size]))
+
+
+def test_sharded_gradient_O320_nlev137_matches_serial():
+    """Reference-scale distributed workload: the north-star benchmark grid
+    carries nlev=137 through the distributed gradient
+    (atlas-benchmark.cc:188-283 runs O---/nlev=137 under MPI)."""
+    grid = Grid("O320")
+    serial = FvmMethod(grid)
+    sh = ShardedFvm(grid, nparts=8, partitioner="equal_regions")
+    nlev = 137
+    g = serial.geometry
+    lat = np.deg2rad(g.lonlat[:, 1])
+    lon = np.deg2rad(g.lonlat[:, 0])
+    prof = 1.0 + 0.01 * np.arange(nlev)
+    f = ((np.sin(lat) * np.cos(2 * lon))[:, None] * prof[None, :]).astype(
+        np.float32)
+    grad_serial = np.asarray(
+        Nabla(serial).gradient(f, halo_exchange=False))
+    out = sh.gather_field(sh.gradient(sh.scatter_field(f[: grid.size])))
+    scale = float(np.abs(grad_serial).max())
+    err = float(np.abs(out - grad_serial[: grid.size]).max()) / scale
+    assert err < 1e-6, err

@@ -104,3 +104,13 @@ def test_balanced_bands_partitioner_registered():
     assert counts.max() / counts.mean() <= 1.15
     # row-aligned: partition id is non-decreasing in grid order
     assert (np.diff(part) >= 0).all()
+
+
+def test_scatter_rejects_multilevel():
+    """nlev > 1 must be rejected, not silently truncated (round-3 verdict:
+    sharded_swe scatter dropped levels)."""
+    grid = Grid("O32")
+    sh = ShardedShallowWater(grid, nparts=4, dtype=np.float64)
+    bad = np.zeros((3, sh.ny, sh.nxw))
+    with pytest.raises(ValueError, match="nlev=3"):
+        sh.scatter(bad)
