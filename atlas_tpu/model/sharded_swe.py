@@ -40,8 +40,15 @@ from .pallas_swe import pick_tjs, swe_stage_pallas
 class ShardedShallowWater:
     def __init__(self, grid, nparts: int, dtype=jnp.float32,
                  mesh: Mesh | None = None, axis_name: str = "bands"):
+        """mesh may be 1-D or a multi-host (dcn, ici) mesh from
+        parallel.multihost.host_aware_mesh — bands are then sharded over the
+        axis PRODUCT in row-major order, so adjacent bands live on the same
+        host (halo ppermutes ride ICI; only host-boundary bands cross DCN)."""
         self.grid = grid
         self.nparts = int(nparts)
+        if mesh is not None and len(mesh.axis_names) > 1:
+            axis_name = tuple(mesh.axis_names)
+            self.nparts = int(mesh.devices.size)
         self.axis_name = axis_name
         self.dtype = jnp.dtype(dtype)
         self.serial = ShallowWaterModel(grid, dtype=dtype, use_cache=True)
