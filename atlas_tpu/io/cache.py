@@ -56,9 +56,11 @@ def load_geometry(path: str):
 
 
 def save_shifts(shifts, path: str) -> None:
-    """Persist a StructuredFvm _Shifts product."""
-    arrays = {}
-    meta = {"ny": shifts.ny, "nxw": shifts.nxw, "L": shifts.L}
+    """Persist a StructuredFvm _Shifts product as a raw .npy directory —
+    mmap'd on load (zlib on the O1280 tables costs tens of seconds per
+    round-trip; reference mmaps its setup caches, trans/Cache.h)."""
+    arrays = {"__meta__": np.array(
+        [shifts.ny, shifts.nxw, shifts.L], dtype=np.int64)}
     for name in ("S_total_regular", "S_total_pole", "metric_x", "metric_y",
                  "cos_lat", "inv_cos", "mask", "halo_rows", "halo_dst",
                  "halo_src", "col_of_point", "row_of_point"):
@@ -66,35 +68,51 @@ def save_shifts(shifts, path: str) -> None:
     for kind, d in (("reg", shifts.keys_regular), ("pole", shifts.keys_pole)):
         for (dj, dc), S in d.items():
             arrays[f"key_{kind}_{dj}_{dc}"] = S
-    np.savez_compressed(path + ".tmp.npz", __meta__=np.array(
-        [meta["ny"], meta["nxw"], meta["L"]], dtype=np.int64), **arrays)
-    os.replace(path + ".tmp.npz", path)
+    save_packed(path + ".d", arrays)
 
 
 def load_shifts(path: str):
     from ..fvm.structured import _Shifts
 
-    if not os.path.exists(path):
-        return None
+    z = load_packed(path + ".d")
+    legacy = None
+    if z is None:
+        if not os.path.exists(path):  # legacy compressed cache
+            return None
+        try:
+            legacy = np.load(path)
+            z = {name: legacy[name] for name in legacy.files}
+        except Exception:
+            return None
     try:
-        with np.load(path) as z:
-            meta = z["__meta__"]
-            keys_regular, keys_pole, fields = {}, {}, {}
-            for name in z.files:
-                if name == "__meta__":
-                    continue
-                if name.startswith("key_"):
-                    _, kind, dj, dc = name.split("_")
-                    target = keys_regular if kind == "reg" else keys_pole
-                    target[(int(dj), int(dc))] = z[name]
-                else:
-                    fields[name] = z[name]
-        return _Shifts(
+        meta = z["__meta__"]
+        keys_regular, keys_pole, fields = {}, {}, {}
+        for name in z:
+            if name == "__meta__":
+                continue
+            if name.startswith("key_"):
+                _, kind, dj, dc = name.split("_")
+                target = keys_regular if kind == "reg" else keys_pole
+                target[(int(dj), int(dc))] = z[name]
+            else:
+                fields[name] = z[name]
+        out = _Shifts(
             ny=int(meta[0]), nxw=int(meta[1]), L=int(meta[2]), nlev_axis=0,
             keys_regular=keys_regular, keys_pole=keys_pole, **fields,
         )
+        if legacy is not None:
+            # upgrade legacy zlib caches to the mmap'd directory format so
+            # the decompression cost is paid only once
+            try:
+                save_shifts(out, path)
+            except OSError:
+                pass
+        return out
     except Exception:
         return None
+    finally:
+        if legacy is not None:
+            legacy.close()
 
 
 def save_legendre(path: str, P: np.ndarray) -> None:

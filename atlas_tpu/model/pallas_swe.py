@@ -44,6 +44,32 @@ from .shallow_water import GRAVITY
 TJS = 16  # default rows per tile (sublane dim); shrinks when VMEM is tight
 
 
+def _encode_runs(runs):
+    """runs tuple -> flat int64 array for the packed-table disk cache."""
+    flat = [len(runs)]
+    for (j0, j1, keys) in runs:
+        flat += [j0, j1, len(keys)]
+        for (dj, dc, is_pole) in keys:
+            flat += [dj, dc, int(is_pole)]
+    return np.asarray(flat, np.int64)
+
+
+def _decode_runs(flat):
+    flat = [int(x) for x in flat]
+    n, i = flat[0], 1
+    runs = []
+    for _ in range(n):
+        j0, j1, nk = flat[i:i + 3]
+        i += 3
+        keys = []
+        for _ in range(nk):
+            dj, dc, pole = flat[i:i + 3]
+            i += 3
+            keys.append((dj, dc, bool(pole)))
+        runs.append((j0, j1, tuple(keys)))
+    return tuple(runs)
+
+
 def pick_tjs(amax, nxw_pad, itemsize=4, budget=12 * 2**20):
     """Largest row tile whose double-buffered packed-S + field blocks fit
     the ~16 MB VMEM (leaving headroom for scratch and accumulators). amax
@@ -252,70 +278,50 @@ class PallasShallowWater:
     axon remote compiler hanging on pallas-under-jit no longer applies.)
     """
 
-    def __init__(self, model):
+    def __init__(self, model, use_cache: bool | None = None):
         self.model = model
         s = model.sfvm.shifts
         dtype = model.dtype
         ny, nxw = s.ny, s.nxw
         self.nxw_pad = -(-nxw // 128) * 128
-
-        # key list: slot 0 = regular self term, then all nonzero regular
-        # off-keys. POLE keys are NOT packed: they touch only the energy
-        # gradient on the two polar rows (pbc = 0 for div/curl), so they are
-        # applied as a tiny XLA post-fix (_pole_fix) — keeping amax at the
-        # interior count is what fits the O1280 row tile in VMEM at tjs=8.
-        items = [((0, 0, False), s.S_total_regular)]
-        for k, S in s.keys_regular.items():
-            if k != (0, 0):
-                items.append(((k[0], k[1], False), S))
-        nk = len(items)
+        if use_cache is None:
+            use_cache = getattr(model, "use_cache", False)
         self._build_pole_fix(s, model)
 
-        # row tile sized to the VMEM budget, THEN rows padded to a multiple
-        # (amax below is bounded by nk for the budget estimate)
-        self.tjs = tjs = pick_tjs(nk, self.nxw_pad, np.dtype(dtype).itemsize)
-        self.ny_pad = -(-ny // tjs) * tjs
-        ny_pad, nxw_pad = self.ny_pad, self.nxw_pad
+        pdir = None
+        cached = None
+        if use_cache:
+            from ..io.cache import cache_path, load_packed
 
-        # per-row-tile active sets -> contiguous runs
-        act = np.zeros((nk, ny_pad), bool)
-        for i, (_, S) in enumerate(items):
-            act[i, :ny] = np.abs(S).sum(axis=(1, 2)) > 0
-        runs = []
-        for jt in range(ny_pad // tjs):
-            ids = tuple(np.flatnonzero(act[:, jt * tjs:(jt + 1) * tjs].any(axis=1)))
-            if not ids:
-                ids = (0,)
-            if runs and runs[-1][2] == ids:
-                runs[-1] = (runs[-1][0], jt + 1, ids)
-            else:
-                runs.append((jt, jt + 1, ids))
-        amax = max(len(r[2]) for r in runs)
+            pdir = cache_path(
+                "pallas-swe",
+                f"{model.grid.name}-{model.grid.uid()[:12]}"
+                f"-{jnp.dtype(dtype).name}") + ".d"
+            cached = load_packed(pdir)
+        if cached is not None:
+            # FINAL packed f32 device tables replayed from the mmap'd cache:
+            # warm setup pays only the host->device copy (VERDICT r3 item 8)
+            meta = np.asarray(cached["__meta__"])
+            self.tjs, self.ny_pad, self.amax = (int(meta[0]), int(meta[1]),
+                                                int(meta[2]))
+            self.runs = _decode_runs(np.asarray(cached["runs"]))
+            self.Sx = jnp.asarray(cached["Sx"])
+            self.Sy = jnp.asarray(cached["Sy"])
+            self.M = jnp.asarray(cached["M"])
+        else:
+            host = self._build_tables(s, model, dtype)
+            if pdir is not None:
+                from ..io.cache import save_packed
 
-        # packed S: slot a of rows in run R holds key ids_R[a]
-        Sx = np.zeros((amax, ny_pad, nxw_pad), np.float64)
-        Sy = np.zeros_like(Sx)
-        run_keys = []
-        for (j0, j1, ids) in runs:
-            keys = tuple(items[i][0] for i in ids)
-            run_keys.append((j0, j1, keys))
-            r0, r1 = j0 * tjs, min(j1 * tjs, ny)
-            for a, i in enumerate(ids):
-                Sx[a, r0:r1, :nxw] = items[i][1][r0:r1, :, 0]
-                Sy[a, r0:r1, :nxw] = items[i][1][r0:r1, :, 1]
-        self.runs = tuple(run_keys)
-        self.amax = amax
-        self.Sx = jnp.asarray(Sx, dtype)
-        self.Sy = jnp.asarray(Sy, dtype)
-
-        M = np.zeros((6, ny_pad, nxw_pad), np.float64)
-        M[0, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_x * s.mask
-        M[1, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_y * s.mask
-        M[2, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_y / s.cos_lat * s.mask
-        M[3, :ny, :nxw] = s.cos_lat
-        M[4, :ny, :nxw] = model.coriolis
-        M[5, :ny, :nxw] = s.mask
-        self.M = jnp.asarray(M, dtype)
+                try:
+                    save_packed(pdir, {
+                        "__meta__": np.array(
+                            [self.tjs, self.ny_pad, self.amax], np.int64),
+                        "runs": _encode_runs(self.runs),
+                        "Sx": host[0], "Sy": host[1], "M": host[2],
+                    })
+                except OSError:
+                    pass
 
         hr = jnp.asarray(s.halo_rows)
         hd = jnp.asarray(s.halo_dst)
@@ -330,6 +336,71 @@ class PallasShallowWater:
         self._fill3 = fill3
         self.ny, self.nxw = ny, nxw
         self.dtype = dtype
+
+    # ----------------------------------------------------------- table build
+    def _build_tables(self, s, model, dtype):
+        """Packed per-run stencil tables; returns the host f32 copies for
+        the disk cache. Key list: slot 0 = regular self term, then all
+        nonzero regular off-keys. POLE keys are NOT packed: they touch only
+        the energy gradient on the two polar rows (pbc = 0 for div/curl),
+        so they are applied as a tiny XLA post-fix (_pole_fix) — keeping
+        amax at the interior count is what fits the O1280 row tile in VMEM
+        at tjs = 8."""
+        ny, nxw = s.ny, s.nxw
+        items = [((0, 0, False), s.S_total_regular)]
+        for k, S in s.keys_regular.items():
+            if k != (0, 0):
+                items.append(((k[0], k[1], False), S))
+        nk = len(items)
+
+        # row tile sized to the VMEM budget, THEN rows padded to a multiple
+        # (amax below is bounded by nk for the budget estimate)
+        self.tjs = tjs = pick_tjs(nk, self.nxw_pad, np.dtype(dtype).itemsize)
+        self.ny_pad = -(-ny // tjs) * tjs
+        ny_pad, nxw_pad = self.ny_pad, self.nxw_pad
+
+        # per-row-tile active sets -> contiguous runs
+        act = np.zeros((nk, ny_pad), bool)
+        for i, (_, S) in enumerate(items):
+            act[i, :ny] = np.abs(S).sum(axis=(1, 2)) > 0
+        runs = []
+        for jt in range(ny_pad // tjs):
+            ids = tuple(np.flatnonzero(
+                act[:, jt * tjs:(jt + 1) * tjs].any(axis=1)))
+            if not ids:
+                ids = (0,)
+            if runs and runs[-1][2] == ids:
+                runs[-1] = (runs[-1][0], jt + 1, ids)
+            else:
+                runs.append((jt, jt + 1, ids))
+        amax = max(len(r[2]) for r in runs)
+
+        npdt = np.dtype(dtype)
+        # packed S: slot a of rows in run R holds key ids_R[a]
+        Sx = np.zeros((amax, ny_pad, nxw_pad), npdt)
+        Sy = np.zeros_like(Sx)
+        run_keys = []
+        for (j0, j1, ids) in runs:
+            keys = tuple(items[i][0] for i in ids)
+            run_keys.append((j0, j1, keys))
+            r0, r1 = j0 * tjs, min(j1 * tjs, ny)
+            for a, i in enumerate(ids):
+                Sx[a, r0:r1, :nxw] = items[i][1][r0:r1, :, 0]
+                Sy[a, r0:r1, :nxw] = items[i][1][r0:r1, :, 1]
+        self.runs = tuple(run_keys)
+        self.amax = amax
+        self.Sx = jnp.asarray(Sx)
+        self.Sy = jnp.asarray(Sy)
+
+        M = np.zeros((6, ny_pad, nxw_pad), npdt)
+        M[0, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_x * s.mask
+        M[1, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_y * s.mask
+        M[2, :ny, :nxw] = 0.5 * DEG2RAD * s.metric_y / s.cos_lat * s.mask
+        M[3, :ny, :nxw] = s.cos_lat
+        M[4, :ny, :nxw] = model.coriolis
+        M[5, :ny, :nxw] = s.mask
+        self.M = jnp.asarray(M)
+        return Sx, Sy, M
 
     # ------------------------------------------------------------ pole fix
     def _build_pole_fix(self, s, model):

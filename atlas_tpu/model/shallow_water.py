@@ -36,6 +36,7 @@ class ShallowWaterModel:
     def __init__(self, grid, dtype=jnp.float32, use_cache: bool = False):
         self.grid = grid
         self.dtype = jnp.dtype(dtype)
+        self.use_cache = bool(use_cache)
         self.sfvm = StructuredFvm(grid, use_cache=use_cache)
         s = self.sfvm.shifts
         lat = np.zeros((s.ny, s.nxw))

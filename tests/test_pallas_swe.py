@@ -42,3 +42,19 @@ def test_pallas_rossby_haurwitz_stable(model):
     h = np.asarray(out["h"])[0][model.mask.astype(bool)]
     assert np.isfinite(h).all()
     assert 7000 < h.mean() < 11000
+
+
+def test_pallas_tables_packed_cache_roundtrip(tmp_path, monkeypatch):
+    """Warm PallasShallowWater setup replays the exact packed device tables
+    from the mmap'd cache (reference analog: mmap'd setup caches,
+    trans/Cache.h; VERDICT r3 item 8)."""
+    monkeypatch.setenv("ATLAS_TPU_CACHE_PATH", str(tmp_path))
+    grid = Grid("O16")
+    cold_model = ShallowWaterModel(grid, use_cache=True)
+    cold = PallasShallowWater(cold_model)
+    warm = PallasShallowWater(ShallowWaterModel(grid, use_cache=True))
+    assert warm.runs == cold.runs
+    assert (warm.tjs, warm.ny_pad, warm.amax) == (
+        cold.tjs, cold.ny_pad, cold.amax)
+    for a, b in ((warm.Sx, cold.Sx), (warm.Sy, cold.Sy), (warm.M, cold.M)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
