@@ -114,11 +114,24 @@ class WindowedELL:
     """
 
     def __init__(self, idx, w, nsrc, block: int = 128, max_W: int = 2048,
-                 max_bytes: float = 800e6):
+                 max_bytes: float = 800e6, src_order=None):
+        """src_order: optional source permutation applied at setup (e.g. a
+        latitude-lexicographic or Hilbert sort, mesh/actions.py reorders) —
+        apply() then permutes the source field once (one cheap gather)
+        instead of paying k scattered taps per target. The reference
+        restructures for the same locality with ReorderHilbert.cc."""
         import jax.numpy as jnp
 
         idx = np.asarray(idx).astype(np.int64)  # int32 would overflow the
         w = np.asarray(w, np.float64)           # dead-tap sentinel below
+        if src_order is not None:
+            src_order = np.asarray(src_order, np.int64)
+            inv = np.empty_like(src_order)
+            inv[src_order] = np.arange(len(src_order))
+            idx = inv[idx]
+            self.src_order = src_order
+        else:
+            self.src_order = None
         ntgt, k = idx.shape
         self.nsrc = int(nsrc)
         self.ntgt = ntgt
@@ -130,77 +143,107 @@ class WindowedELL:
         hi = np.where(live.any(axis=1), hi, 0)
         width = hi - lo + 1
         B = block
-        # W covers the TYPICAL stencil width plus the sorted-lo drift across
-        # one block (~B * nsrc/ntgt); individually-wide targets (e.g.
-        # stencils straddling a cubed-sphere tile seam) go straight to the
-        # residual gather path so one wide row cannot poison a whole block
+        # Base window: the TYPICAL stencil width plus the sorted-lo drift
+        # across one block (~B * nsrc/ntgt). Blocks whose span exceeds one
+        # class's W are retried in the next (4x wider) class instead of
+        # falling straight to the gather path — the multi-W ladder pushes
+        # fast_fraction to ~1.0 (round-3 verdict item 7; reference orders
+        # for locality via ReorderHilbert.cc for the same reason).
         drift = B * max(self.nsrc / max(ntgt, 1), 1.0) * 1.5
-        W = int(np.clip(
+        W1 = int(np.clip(
             -(-int(np.percentile(width, 90) + drift) // 128) * 128,
             128, max_W))
-        while (-(-ntgt // B)) * B * W * 4 > max_bytes and W > 128:
-            W -= 128
-        narrow = np.flatnonzero(width <= max(W - int(drift), W // 4))
-        order = narrow[np.argsort(lo[narrow], kind="stable")]
-        self.W = W
+        while (-(-ntgt // B)) * B * W1 * 4 > max_bytes and W1 > 128:
+            W1 -= 128
+        self.W = W1
         self.B = B
-        if len(order) == 0:
-            fast_blocks = np.zeros(0, np.int64)
-            slow_blocks = np.zeros(0, np.int64)
-            nb = 0
-            order_p = np.zeros((0,), np.int64)
-        else:
-            nb = -(-len(order) // B)
-            pad = nb * B - len(order)
-            order_p = np.concatenate([order, np.full(pad, order[-1])])
-            blo = lo[order_p].reshape(nb, B)
-            bhi = hi[order_p].reshape(nb, B)
-            span = bhi.max(axis=1) - blo.min(axis=1) + 1
-            fast_blocks = np.flatnonzero(span <= W)
-            slow_blocks = np.flatnonzero(span > W)
-        # fast-path tensors (f is zero-padded by W at apply time, so windows
-        # may run past nsrc; starts stay unclipped to keep offsets exact)
-        if len(fast_blocks):
-            starts = blo.min(axis=1)
-            Wt = np.zeros((len(fast_blocks), B, W))
-            tgt_fast = order_p.reshape(nb, B)[fast_blocks]
-            for bi, b in enumerate(fast_blocks):
-                rows = order_p.reshape(nb, B)[b]
-                offs = idx[rows] - starts[b]
-                valid = live[rows]
-                assert offs[valid].min() >= 0 and offs[valid].max() < W
-                bb = np.broadcast_to(np.arange(B)[:, None], offs.shape)
-                np.add.at(Wt[bi], (bb[valid], offs[valid]), w[rows][valid])
-            self.win_start = starts[fast_blocks].astype(np.int32)
-            self.Wt = Wt
-            self.tgt_fast = tgt_fast.reshape(-1).astype(np.int32)
-        else:
-            self.win_start = np.zeros(0, np.int32)
-            self.Wt = np.zeros((0, B, W))
-            self.tgt_fast = np.zeros(0, np.int32)
-        # slow-path residual (plain gather-dot): wide targets + slow blocks
-        slow_rows = np.setdiff1d(np.arange(ntgt),
-                                 np.unique(self.tgt_fast))
+
+        self.classes = []
+        remaining = np.arange(ntgt)
+        budget = max_bytes - (-(-ntgt // B)) * B * W1 * 4
+        Wc = W1
+        while len(remaining) and Wc <= max_W:
+            cand = remaining[width[remaining] <= Wc]
+            taken = self._build_class(idx, w, live, lo, hi, cand, B, Wc)
+            if taken is not None:
+                remaining = np.setdiff1d(remaining, taken)
+            if Wc == max_W:
+                break
+            nxt = min(4 * Wc, max_W)
+            # later classes hold few rows; cap their table growth
+            est = (-(-max(len(remaining), 1) // B)) * B * nxt * 4
+            if est > max(budget, 64e6) and Wc >= W1 * 4:
+                break
+            Wc = nxt
+
+        # slow-path residual (plain gather-dot): rows no class captured
+        slow_rows = np.sort(remaining)
         self.tgt_slow = slow_rows.astype(np.int32)
         self.idx_slow = idx[slow_rows].astype(np.int32)
         self.w_slow = w[slow_rows]
         self.fast_fraction = 1.0 - len(slow_rows) / max(ntgt, 1)
         self._dev = {}
 
+    def _build_class(self, idx, w, live, lo, hi, cand, B, W):
+        """One W-class: sort candidate rows by lo, block them, keep blocks
+        whose source span fits W. Returns the captured row ids or None."""
+        if len(cand) == 0:
+            return None
+        order = cand[np.argsort(lo[cand], kind="stable")]
+        nb = -(-len(order) // B)
+        order_p = np.concatenate([order, np.full(nb * B - len(order),
+                                                 order[-1])])
+        blo = lo[order_p].reshape(nb, B)
+        bhi = hi[order_p].reshape(nb, B)
+        span = bhi.max(axis=1) - blo.min(axis=1) + 1
+        fast = np.flatnonzero(span <= W)
+        if len(fast) == 0:
+            return None
+        starts = blo.min(axis=1)
+        Wt = np.zeros((len(fast), B, W))
+        tgt_fast = order_p.reshape(nb, B)[fast]
+        for bi, b in enumerate(fast):
+            rows = order_p.reshape(nb, B)[b]
+            offs = idx[rows] - starts[b]
+            valid = live[rows]
+            assert offs[valid].min() >= 0 and offs[valid].max() < W
+            bb = np.broadcast_to(np.arange(B)[:, None], offs.shape)
+            np.add.at(Wt[bi], (bb[valid], offs[valid]), w[rows][valid])
+        self.classes.append({
+            "W": W,
+            "win_start": starts[fast].astype(np.int32),
+            "Wt": Wt,
+            "tgt_fast": tgt_fast.reshape(-1).astype(np.int32),
+        })
+        return np.unique(tgt_fast)
+
     def tables(self, dtype):
         import jax.numpy as jnp
 
         key = jnp.dtype(dtype).name
         if key not in self._dev:
+            cls = tuple(
+                (jnp.asarray(c["win_start"]), jnp.asarray(c["Wt"], dtype),
+                 jnp.asarray(c["tgt_fast"]))
+                for c in self.classes)
             self._dev[key] = (
-                jnp.asarray(self.win_start),
-                jnp.asarray(self.Wt, dtype),
-                jnp.asarray(self.tgt_fast),
+                cls,
                 jnp.asarray(self.idx_slow),
                 jnp.asarray(self.w_slow, dtype),
                 jnp.asarray(self.tgt_slow),
+                None if self.src_order is None
+                else jnp.asarray(self.src_order),
             )
         return self._dev[key]
+
+    def window_elems(self) -> int:
+        """Total window-read + weight-table elements per apply (bench
+        traffic model)."""
+        tot = 0
+        for c in self.classes:
+            nb = c["Wt"].shape[0]
+            tot += nb * self.B * c["W"] + nb * c["W"]
+        return tot
 
     def apply(self, f):
         """f: (nsrc,) or (nsrc, nch) -> (ntgt[, nch])."""
@@ -208,28 +251,33 @@ class WindowedELL:
 
         f = jnp.asarray(f)
         tabs = self.tables(f.dtype)
-        return windowed_ell_apply(*tabs, self.ntgt, self.W, f)
+        return windowed_ell_apply(*tabs, self.ntgt, f)
 
 
-def windowed_ell_apply(win_start, Wt, tgt_fast, idx_slow, w_slow, tgt_slow,
-                       ntgt, W, f):
-    """jit-compatible windowed ELL SpMM (see WindowedELL)."""
+def windowed_ell_apply(cls_tabs, idx_slow, w_slow, tgt_slow, src_order, ntgt,
+                       f):
+    """jit-compatible multi-class windowed ELL SpMM (see WindowedELL)."""
     import jax
     import jax.numpy as jnp
 
     squeeze = f.ndim == 1
     f2 = f[:, None] if squeeze else f
+    if src_order is not None:
+        f2 = f2[src_order]
     nch = f2.shape[-1]
-    pad = jnp.pad(f2, ((0, W), (0, 0)))
-    zero = jnp.zeros((), win_start.dtype)
-    win = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(pad, (s, zero), (W, nch))
-    )(win_start)  # (nb_fast, W, nch)
-    out_fast = jnp.einsum("bIW,bWc->bIc", Wt, win,
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=Wt.dtype)
+    Wmax = max((t[1].shape[2] for t in cls_tabs), default=0)
+    pad = jnp.pad(f2, ((0, Wmax), (0, 0)))
+    zero = jnp.zeros((), jnp.int32)
     out = jnp.zeros((ntgt, nch), f2.dtype)
-    out = out.at[tgt_fast].set(out_fast.reshape(-1, nch))
+    for (win_start, Wt, tgt_fast) in cls_tabs:
+        W = Wt.shape[2]
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(pad, (s, zero), (W, nch))
+        )(win_start)  # (nb, W, nch)
+        out_fast = jnp.einsum("bIW,bWc->bIc", Wt, win,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=Wt.dtype)
+        out = out.at[tgt_fast].set(out_fast.reshape(-1, nch))
     if idx_slow.shape[0]:
         vals = f2[idx_slow]  # (nslow, k, nch)
         out_slow = (vals * w_slow[..., None]).sum(axis=1)

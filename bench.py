@@ -711,6 +711,10 @@ def bench_conservative(args):
     tgt = Grid("O64" if not args.quick else "O16")
     t0 = time.time()
     remap = Interpolation("conservative-spherical-polygon", cs, tgt)
+    # (a latitude-lexicographic src_order was measured here too: it pushes
+    # fast_fraction to 1.0 but widens the base window 2x and loses ~60% on
+    # wall time — the cubed-sphere tile order is already the better layout
+    # for the W-class ladder, which captures 96% + the rest via wide classes)
     well = WindowedELL(remap.idx, remap.w, cs.size)
     setup_cons = time.time() - t0
     f = jax.random.normal(jax.random.key(0), (cs.size,), dtype)
@@ -730,9 +734,9 @@ def bench_conservative(args):
     def make_chain():
         def make(k):
             @jax.jit
-            def chain(f, *tabs):
+            def chain(f, tabs):
                 def body(_, f):
-                    out = windowed_ell_apply(*tabs, well.ntgt, well.W, f)
+                    out = windowed_ell_apply(*tabs, well.ntgt, f)
                     return f + out.mean() * jnp.asarray(1e-30, dtype)
 
                 return jnp.sum(jax.lax.fori_loop(0, k, body, f))
@@ -741,7 +745,7 @@ def bench_conservative(args):
 
         return make(1), make(K), K
 
-    t_cons, note_c = _fori_pair(make_chain, f, *tabs)
+    t_cons, note_c = _fori_pair(make_chain, f, tabs)
 
     # semi-Lagrangian advection step on the target reduced grid
     t0 = time.time()
@@ -769,8 +773,7 @@ def bench_conservative(args):
     t_sl, note_sl = _fori_pair(make_chain_sl, q, u, v)
     ntgt, kmax = remap.idx.shape
     # windowed traffic: window reads + weight blocks + src/tgt streams
-    nb = well.Wt.shape[0]
-    traffic = (cs.size + ntgt + nb * well.B * well.W + nb * well.W
+    traffic = (cs.size + ntgt + well.window_elems()
                + 3 * len(well.tgt_slow) * kmax) * jnp.dtype(dtype).itemsize
     return _emit(
         f"conservative_{cs.name}_to_{tgt.name}_plus_semilag_targetpoints_per_s",
@@ -780,7 +783,8 @@ def bench_conservative(args):
          "ntgt": int(ntgt), "k_max": int(kmax),
          "remap_iter_s": t_cons, "remap_setup_s": setup_cons,
          "remap_impl": "windowed-ell",
-         "remap_fast_fraction": well.fast_fraction, "remap_W": well.W,
+         "remap_fast_fraction": well.fast_fraction,
+         "remap_W_classes": [c["W"] for c in well.classes],
          "max_rel_err": max_rel_err,
          "semilag_iter_s": t_sl, "semilag_setup_s": setup_sl,
          "semilag_points_per_s": tgt.size / t_sl,
