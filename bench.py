@@ -705,6 +705,7 @@ def bench_conservative(args):
     from atlas_tpu.interpolation import Interpolation
     from atlas_tpu.linalg import WindowedELL, windowed_ell_apply
     from atlas_tpu.model.semi_lagrangian import SemiLagrangianAdvection
+    from atlas_tpu.model.semilag_fast import SemiLagrangianFast
 
     dtype = jnp.dtype(args.dtype)
     cs = Grid("CS-LFR-64" if not args.quick else "CS-LFR-16")
@@ -747,9 +748,11 @@ def bench_conservative(args):
 
     t_cons, note_c = _fori_pair(make_chain, f, tabs)
 
-    # semi-Lagrangian advection step on the target reduced grid
+    # semi-Lagrangian advection step on the target reduced grid: the
+    # gather-free shift-algebra path (model/semilag_fast.py), accuracy-gated
+    # against the gather-based stencil path
     t0 = time.time()
-    sl = SemiLagrangianAdvection(tgt)
+    sl = SemiLagrangianFast(tgt)
     setup_sl = time.time() - t0
     ll = tgt.lonlat()
     u = jnp.asarray(20.0 * np.cos(np.deg2rad(ll[:, 1])), dtype)
@@ -757,20 +760,29 @@ def bench_conservative(args):
     q = jnp.asarray(np.cos(3 * np.deg2rad(ll[:, 0])), dtype)
     dt = jnp.asarray(1800.0, dtype)
 
+    sl_ref = SemiLagrangianAdvection(tgt)
+    a = np.asarray(sl_ref.step(q, u, v, dt))
+    b = np.asarray(sl.step(q, u, v, dt))
+    sl_err = float(np.abs(a - b).max() / np.abs(a).max())
+    assert sl_err < 1e-5, f"fast-vs-gather semilag: {sl_err}"
+
+    qp0 = sl.to_plane(q)
+    uvp0 = sl.to_plane(jnp.stack([u, v], -1))
+
     def make_chain_sl():
         def make(k):
             @jax.jit
-            def chain(q, u, v):
-                def body(_, q):
-                    return sl.step(q, u, v, dt)
+            def chain(qp, uvp):
+                def body(_, qp):
+                    return sl.step_plane(qp, uvp, dt)
 
-                return jnp.sum(jax.lax.fori_loop(0, k, body, q))
+                return jnp.sum(jax.lax.fori_loop(0, k, body, qp))
 
             return chain
 
         return make(1), make(K), K
 
-    t_sl, note_sl = _fori_pair(make_chain_sl, q, u, v)
+    t_sl, note_sl = _fori_pair(make_chain_sl, qp0, uvp0)
     ntgt, kmax = remap.idx.shape
     # windowed traffic: window reads + weight blocks + src/tgt streams
     traffic = (cs.size + ntgt + well.window_elems()
@@ -786,6 +798,8 @@ def bench_conservative(args):
          "remap_fast_fraction": well.fast_fraction,
          "remap_W_classes": [c["W"] for c in well.classes],
          "max_rel_err": max_rel_err,
+         "semilag_impl": "shift-algebra",
+         "semilag_vs_gather_rel_err": sl_err,
          "semilag_iter_s": t_sl, "semilag_setup_s": setup_sl,
          "semilag_points_per_s": tgt.size / t_sl,
          "timing_note": f"remap {note_c}; semilag {note_sl}",
@@ -929,45 +943,32 @@ def bench_gradient(args):
     ft = jax.random.normal(jax.random.key(0), (lo, pg.ny_pad, LI, pg.nxw_pad), dtype)
 
     if args.impl == "pallas":
-        # Platform quirks: (a) wrapping the pallas call in any enclosing jit or
-        # lax control flow hangs the axon remote compiler; (b) block_until_ready
-        # does not reliably synchronize pallas custom-call execution. So: chain
-        # K data-dependent calls at the Python level, force materialization by
-        # FETCHING a scalar reduction, and difference against a 1-call chain to
-        # remove the fixed fetch/dispatch overhead.
-        def run(ft):
-            return gradient_pallas(pg.runs, pg.keys, pg.Sx, pg.Sy, pg.G, ft)[0]
-
-        sum_fn = jax.jit(jnp.sum)
-        # rescale+clip between calls keeps the chain bounded (the polar-row
-        # metric amplifies ~30x/iteration otherwise); separate jitted program,
-        # no pallas inside, so it compiles fine
-        renorm = jax.jit(lambda x: jnp.clip(x * jnp.asarray(6.4e6, dtype), -1.0, 1.0))
-
-        def chain(n):
-            # renorm every 4th call: the polar-row metric amplifies ~30x per
-            # gradient, so 4 unrenormalized steps stay well inside f32 range
-            # while keeping the measured loop dominated by the kernel itself
-            x = ft
-            for i in range(n):
-                x = run(x)
-                if i % 4 == 3 or i == n - 1:
-                    x = renorm(x)
-            return float(sum_fn(x))
-
-        chain(2)  # compile everything
+        # fori chain of pallas stages inside ONE jitted program (the round-2
+        # "pallas under lax control flow hangs the remote compiler" quirk no
+        # longer applies — the SWE bench already fori-chains its fused stage
+        # kernels); round 3 paid ~ms of per-call dispatch through the tunnel
+        # on every iteration by chaining at the Python level.
         K = max(args.niter, 8)
-        t0 = time.perf_counter()
-        s1 = chain(1)
-        t_one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sK = chain(K)
-        t_K = time.perf_counter() - t0
-        t_iter = max((t_K - t_one) / (K - 1), 1e-6)
-        assert np.isfinite(sK), "pallas chain produced non-finite sum"
-        timing_note = (
-            f"chain diff: {K} calls {t_K*1e3:.2f} ms vs 1 call {t_one*1e3:.2f} ms"
-        )
+
+        def make_chain():
+            def make(k):
+                @jax.jit
+                def chain(ft, Sx, Sy, G):
+                    def body(_, x):
+                        gx, _ = gradient_pallas(pg.runs, pg.keys, Sx, Sy, G,
+                                                x)
+                        # clip keeps the chain bounded (the polar-row metric
+                        # amplifies ~30x/iteration); fused into the loop
+                        return jnp.clip(gx * jnp.asarray(6.4e6, dtype),
+                                        -1.0, 1.0)
+
+                    return jnp.sum(jax.lax.fori_loop(0, k, body, ft))
+
+                return chain
+
+            return make(1), make(K), K
+
+        t_iter, timing_note = _fori_pair(make_chain, ft, pg.Sx, pg.Sy, pg.G)
     elif args.impl == "xla":
         # block_until_ready does not reliably synchronize through the axon
         # tunnel, so force materialization by FETCHING a scalar reduction and
@@ -1083,6 +1084,8 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--precision", default="high",
                     choices=["default", "high", "highest"])
+    ap.add_argument("--trans-T", dest="trans_T", type=int, default=639)
+    ap.add_argument("--trans-grid", dest="trans_grid", default="F640")
     args = ap.parse_args()
     if args.quick:
         args.grid, args.nlev, args.niter = "O32", 8, 5

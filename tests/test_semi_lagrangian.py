@@ -93,3 +93,22 @@ def test_padded_interp_matches_gather_variant():
     b = np.asarray(
         interp_structured_cubic(stencil_tables(grid), f, pts[:, 0], pts[:, 1]))
     np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_fast_semilag_matches_gather_path():
+    """Shift-algebra semi-Lagrangian == the gather-based stencil path to
+    roundoff (same departure iteration, same cubic Lagrange stencil;
+    reference stencil computers grid/StencilComputer.h:27-50)."""
+    from atlas_tpu.model.semilag_fast import SemiLagrangianFast
+
+    for gname in ("O24", "F16"):
+        g = Grid(gname)
+        ref = SemiLagrangianAdvection(g)
+        fast = SemiLagrangianFast(g)
+        ll = g.lonlat()
+        u = 20.0 * np.cos(np.deg2rad(ll[:, 1]))
+        v = 5.0 * np.sin(np.deg2rad(2 * ll[:, 0]))
+        q = np.cos(3 * np.deg2rad(ll[:, 0])) * np.sin(np.deg2rad(ll[:, 1]))
+        a = np.asarray(ref.step(q, u, v, 1800.0))
+        b = np.asarray(fast.step(q, u, v, 1800.0))
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-12
