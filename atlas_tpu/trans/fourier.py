@@ -231,6 +231,16 @@ class FourierSynthesis:
         self._take = jnp.asarray((rr * L + yy).astype(np.int32))
         self._shifts = tuple(range(j0, j0 + W))
 
+    def resampler(self, nf):
+        """Per-nf ResampleCompact instance (fused Pallas resample+compact)."""
+        if not hasattr(self, "_rc"):
+            self._rc = {}
+        if nf not in self._rc:
+            from .resample_kernel import ResampleCompact
+
+            self._rc[nf] = ResampleCompact(self, self.grid, nf)
+        return self._rc[nf]
+
     def scale_spectra(self, Fre, Fim):
         """Apply kernel deconvolution (resample path only) on (..., T+1)."""
         if self.kind != "resample":
@@ -273,37 +283,54 @@ def _resample_apply(line, planes, take, shifts):
 
 
 @partial(jax.jit, static_argnames=("ny", "nf", "n1", "n2", "M2", "precision",
-                                   "shifts"))
+                                   "layout"))
 def invtrans_fourstep_fused(S, A, mult, phc, phs, E2r, E2i, EC,
-                            planes, take, ny, nf, n1, n2, M2, precision,
-                            shifts):
+                            ny, nf, n1, n2, M2, precision, layout="flat"):
     """Hemisphere combine + four-step synthesis (+ optional KB resample),
     all m-major — no (t+1, ny, nf) -> (nf, ny, t+1) transpose.
 
     S, A: (t+1, half, nf*2) bucketed-Legendre outputs. mult: (ny, t+1)
     row truncation mask (x kernel deconvolution) or None. phc/phs: (ny, t+1)
-    x0 phase or None. planes/take/shifts: resample tables or None/().
-    Returns (nf, grid.size)."""
+    x0 phase or None. layout: "flat" -> (nf, ny*L) grid values (uniform
+    grids); "line" -> (ny, nf, L) synthesis circles for the reduced-grid
+    resample+compact kernel (resample_kernel.py)."""
     prec = _PRECISIONS[precision]
     t1, half, _ = S.shape
-    N = S + A
-    Sth = (S - A)[:, ::-1][:, 2 * half - ny:]
-    F = jnp.concatenate([N, Sth], axis=1).reshape(t1, ny, nf, 2)
-    Fre, Fim = F[..., 0], F[..., 1]  # (t1, ny, nf)
+    # hemisphere combine with minimal materialization: two half-row arrays
+    # (south flipped/cropped at this small size), then ONE nested concat
+    # assembling the stage-A operand X — the BLOCK q layout (re | im) makes
+    # every re/im extraction a free contiguous slice (the interleaved
+    # layout + eager F/X builds cost ~5 ms/transform at T639 on v5e)
+    N = S + A                                  # (t1, half, 2 nf)
+    Sth = (S - A)[:, ::-1][:, 2 * half - ny:]  # (t1, ny - half, 2 nf)
+    if mult is not None:
+        mT = mult.T  # (t1, ny)
+        N = N * mT[:, :half, None]
+        Sth = Sth * mT[:, half:, None]
     if phc is not None:
+        # shifted grids: complex phase mixes re/im — build F explicitly
+        F = jnp.concatenate([N, Sth], axis=1).reshape(t1, ny, 2, nf)
+        Fre, Fim = F[:, :, 0], F[:, :, 1]
         c, s = phc.T[:, :, None], phs.T[:, :, None]
         Fre, Fim = Fre * c - Fim * s, Fre * s + Fim * c
-    if mult is not None:
-        m = mult.T[:, :, None]
-        Fre, Fim = Fre * m, Fim * m
-    pad = n1 * M2 - t1
-    if pad:
-        Fre = jnp.pad(Fre, ((0, pad), (0, 0), (0, 0)))
-        Fim = jnp.pad(Fim, ((0, pad), (0, 0), (0, 0)))
-    cr = Fre.reshape(M2, n1, ny, nf)
-    ci = Fim.reshape(M2, n1, ny, nf)
-    X = jnp.concatenate([cr, ci], axis=0)  # (2 M2, n1, ny, nf)
-    if planes is None:
+        pad = n1 * M2 - t1
+        if pad:
+            Fre = jnp.pad(Fre, ((0, pad), (0, 0), (0, 0)))
+            Fim = jnp.pad(Fim, ((0, pad), (0, 0), (0, 0)))
+        X = jnp.concatenate([Fre.reshape(M2, n1, ny, nf),
+                             Fim.reshape(M2, n1, ny, nf)], axis=0)
+    else:
+        pad = n1 * M2 - t1
+        if pad:
+            N = jnp.pad(N, ((0, pad), (0, 0), (0, 0)))
+            Sth = jnp.pad(Sth, ((0, pad), (0, 0), (0, 0)))
+        Nq = N.reshape(M2, n1, half, 2, nf)
+        Sq = Sth.reshape(M2, n1, ny - half, 2, nf)
+        X = jnp.concatenate([
+            jnp.concatenate([Nq[:, :, :, 0], Sq[:, :, :, 0]], axis=2),
+            jnp.concatenate([Nq[:, :, :, 1], Sq[:, :, :, 1]], axis=2),
+        ], axis=0)  # (2 M2, n1, ny, nf)
+    if layout == "flat":
         # uniform grid: field-major output, flat row-major x == grid order
         Br = jnp.einsum("mnyf,mx->yfnx", X, E2r, precision=prec,
                         preferred_element_type=S.dtype)
@@ -313,23 +340,13 @@ def invtrans_fourstep_fused(S, A, mult, phc, phs, E2r, E2i, EC,
         out = jnp.einsum("yfkx,kzx->fyzx", G, EC, precision=prec,
                          preferred_element_type=S.dtype)
         return out.reshape(nf, ny * n1 * n2)
-    # reduced grid: field-MINOR so the (W, ny, L) weight planes broadcast
-    # across the field lane dim (read once per call, not once per field)
+    # reduced grid: per-row synthesis circles for the fused Pallas
+    # resample+compact kernel (resample_kernel.py)
     Br = jnp.einsum("mnyf,mx->ynxf", X, E2r, precision=prec,
                     preferred_element_type=S.dtype)
     Bi = jnp.einsum("mnyf,mx->ynxf", X, E2i, precision=prec,
                     preferred_element_type=S.dtype)
     G = jnp.concatenate([Br, Bi], axis=1)  # (ny, 2 n1, n2, nf)
-    line = jnp.einsum("ykxf,kzx->yzxf", G, EC, precision=prec,
+    line = jnp.einsum("ykxf,kzx->yfzx", G, EC, precision=prec,
                       preferred_element_type=S.dtype)
-    L = n1 * n2
-    line = line.reshape(ny, L, nf)
-    lo, hi = -shifts[0], shifts[-1]
-    lp = jnp.concatenate([line[:, L - lo:], line, line[:, :hi]], axis=1)
-    acc = line * planes[lo][:, :, None]
-    for k, dc in enumerate(shifts):
-        if dc == 0:
-            continue
-        acc = acc + jax.lax.slice_in_dim(
-            lp, dc + lo, dc + lo + L, axis=1) * planes[k][:, :, None]
-    return acc.reshape(ny * L, nf)[take].T
+    return line.reshape(ny, nf, n1 * n2)

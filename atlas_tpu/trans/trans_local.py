@@ -327,8 +327,8 @@ class TransLocal:
                 self.precision)
             return out[0] if squeeze else out
         # hemispheres: N = S + A, S = S - A -> rows (nf, ny, T+1, 2)
-        Fn = jnp.transpose((S + A).reshape(t + 1, half, nf, 2), (2, 1, 0, 3))
-        Fs = jnp.transpose((S - A).reshape(t + 1, half, nf, 2), (2, 1, 0, 3))
+        Fn = jnp.transpose((S + A).reshape(t + 1, half, 2, nf), (3, 1, 0, 2))
+        Fs = jnp.transpose((S - A).reshape(t + 1, half, 2, nf), (3, 1, 0, 2))
         F = jnp.concatenate([Fn, Fs[:, ::-1][:, 2 * half - self.grid.ny:]],
                             axis=1)
         out = self._fourier_rows(F, nf)
@@ -344,19 +344,26 @@ class TransLocal:
         return out[0] if squeeze else out
 
     def _fourstep_fused(self, S, A, nf):
-        """Four-step (+resample) fused Fourier path (fourier.py)."""
+        """Four-step (+resample/compact) fused Fourier path (fourier.py +
+        resample_kernel.py)."""
         from .fourier import invtrans_fourstep_fused
 
         fs = self.fourier
         tb = fs._tabs
         phc, phs = self._phase if self._phase is not None else (None, None)
-        planes = fs._planes if fs.kind == "resample" else None
-        take = fs._take if fs.kind == "resample" else None
-        shifts = fs._shifts if fs.kind == "resample" else ()
-        return invtrans_fourstep_fused(
+        layout = "line" if fs.kind == "resample" else "flat"
+        out = invtrans_fourstep_fused(
             S, A, self._fourier_mult, phc, phs, tb["E2r"], tb["E2i"],
-            tb["EC"], planes, take, self.grid.ny, nf,
-            tb["n1"], tb["n2"], tb["M2"], self.precision, shifts)
+            tb["EC"], self.grid.ny, nf,
+            tb["n1"], tb["n2"], tb["M2"], self.precision, layout)
+        if fs.kind == "resample":
+            import jax as _jax
+
+            rc = fs.resampler(nf)
+            interp = _jax.default_backend() not in ("tpu", "axon")
+            out = rc.apply(out, rc.tables(fs._planes), fs._shifts,
+                           interpret=interp)
+        return out
 
     def _fourier_rows(self, F, nf):
         """F: (nf, ny, T+1, 2) per-row Fourier coefficients -> (nf, size).
@@ -557,8 +564,8 @@ def _invtrans_fourier_fused(S, A, M, ny, nf, precision):
     t1, half, _ = S.shape
     N = S + A
     Sth = (S - A)[:, ::-1][:, 2 * half - ny:]
-    Fc = jnp.concatenate([N, Sth], axis=1).reshape(t1, ny, nf, 2)
-    G = jnp.concatenate([Fc[..., 0], Fc[..., 1]], axis=0)  # (2 t1, ny, nf)
+    Fc = jnp.concatenate([N, Sth], axis=1).reshape(t1, ny, 2, nf)
+    G = jnp.concatenate([Fc[:, :, 0], Fc[:, :, 1]], axis=0)  # (2 t1, ny, nf)
     vals = jnp.einsum("krn,kx->nrx", G, M,
                       precision=_PRECISIONS[precision],
                       preferred_element_type=S.dtype)
@@ -567,7 +574,12 @@ def _invtrans_fourier_fused(S, A, M, ny, nf, precision):
 
 @jax.jit
 def _pack_rhs(spectra, im_mask):
-    """(nf, nspec2) packed real spectra -> (ncoef, nf*2) GEMM operand."""
+    """(nf, nspec2) packed real spectra -> (ncoef, 2*nf) GEMM operand.
+
+    BLOCK q layout: columns [0:nf] real parts, [nf:2nf] imaginary parts —
+    downstream re/im extraction is then a contiguous minor slice instead of
+    a stride-2 gather (the interleaved layout cost ~5 ms of pure data
+    movement per T639 transform, measured on v5e)."""
     re = spectra[:, 0::2]
     im = spectra[:, 1::2] * im_mask
     return _pack_pair(re, im)
@@ -575,17 +587,16 @@ def _pack_rhs(spectra, im_mask):
 
 @jax.jit
 def _pack_pair(re, im):
-    ncoef = re.shape[1]
-    return jnp.stack([re, im], axis=-1).transpose(1, 0, 2).reshape(ncoef, -1)
+    return jnp.concatenate([re, im], axis=0).T  # (ncoef, 2*nf)
 
 
 def _ns_pair(S, A, nf):
-    """Bucketed-apply output (t+1, half, nf*2) x2 -> hemispheres
+    """Bucketed-apply output (t+1, half, 2*nf) x2 -> hemispheres
     (nf, t+1, half, 2) x2: north = S + A, south = S - A
     (reference TransLocal.cc:1031-1083)."""
     t1, half, _ = S.shape
-    n = jnp.transpose((S + A).reshape(t1, half, nf, 2), (2, 0, 1, 3))
-    s = jnp.transpose((S - A).reshape(t1, half, nf, 2), (2, 0, 1, 3))
+    n = jnp.transpose((S + A).reshape(t1, half, 2, nf), (3, 0, 1, 2))
+    s = jnp.transpose((S - A).reshape(t1, half, 2, nf), (3, 0, 1, 2))
     return n, s
 
 

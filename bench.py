@@ -274,16 +274,18 @@ def bench_trans(args):
     if kind != "gemm":
         tb = fs._tabs
         phc, phs = tr._phase if tr._phase is not None else (None, None)
-        planes = fs._planes if kind == "resample" else None
-        take = fs._take if kind == "resample" else None
-        shifts = fs._shifts if kind == "resample" else ()
-        four_ops = (tr._fourier_mult, planes, take)
+        layout = "line" if kind == "resample" else "flat"
+        rc = fs.resampler(nf) if kind == "resample" else None
+        rc_tabs = rc.tables(fs._planes) if rc is not None else None
+        four_ops = (tr._fourier_mult, rc_tabs)
 
-        def four_apply(S, A, mult, planes, take):
-            return invtrans_fourstep_fused(
+        def four_apply(S, A, mult, rc_tabs):
+            out = invtrans_fourstep_fused(
                 S, A, mult, phc, phs, tb["E2r"], tb["E2i"], tb["EC"],
-                planes, take, grid.ny, nf,
-                tb["n1"], tb["n2"], tb["M2"], prec, shifts)
+                grid.ny, nf, tb["n1"], tb["n2"], tb["M2"], prec, layout)
+            if rc is not None:
+                out = rc.apply(out, rc_tabs, fs._shifts)
+            return out
     else:
         M_four = tr._fourier_groups[0][1]
         four_ops = ()

@@ -343,3 +343,23 @@ def test_fourstep_shifted_rows_phase():
     b = np.asarray(tr_f.invtrans(spec))
     scale = np.abs(a).max()
     assert np.abs(b - a).max() / scale < 2e-7
+
+
+def test_resample_compact_kernel_matches_gemm():
+    # mid-size reduced grid: the banded Pallas resample+compact kernel (in
+    # interpret mode off-chip) against the direct per-row-group GEMM
+    grid = Grid("O96")
+    T = 95
+    tr_g = TransLocal(grid, T, dtype=np.float32, fourier="gemm")
+    tr_f = TransLocal(grid, T, dtype=np.float32, fourier="fast")
+    assert tr_f.fourier.kind == "resample"
+    rc = tr_f.fourier.resampler(2)
+    assert len(rc.segments) >= 1, "no kernel band engaged"
+    rng = np.random.default_rng(5)
+    sp = rng.normal(size=(2, nspec2(T))).astype(np.float32)
+    ms, _ = spectral_index(T)
+    sp[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    a = np.asarray(tr_g.invtrans(sp))
+    b = np.asarray(tr_f.invtrans(sp))
+    scale = np.abs(a).max()
+    assert np.abs(b - a).max() / scale < 5e-5
