@@ -227,9 +227,19 @@ class FourierSynthesis:
             j = j0 + k
             w = _kb_kernel(np.abs(tt - j), W, beta)
             planes[k, rr, yy] = w
-        self._planes = jnp.asarray(planes, self.dtype)
+        # host copy; the device copy is built lazily (the hot path uses the
+        # per-segment transposed tables of resample_kernel.ResampleCompact
+        # instead, and holding both on HBM wastes ~1.3 GB at O1280)
+        self._planes_host = planes.astype(np.dtype(self.dtype))
+        self._planes_dev = None
         self._take = jnp.asarray((rr * L + yy).astype(np.int32))
         self._shifts = tuple(range(j0, j0 + W))
+
+    @property
+    def _planes(self):
+        if self._planes_dev is None:
+            self._planes_dev = jnp.asarray(self._planes_host)
+        return self._planes_dev
 
     def resampler(self, nf):
         """Per-nf ResampleCompact instance (fused Pallas resample+compact)."""
@@ -336,9 +346,13 @@ def invtrans_fourstep_fused(S, A, mult, phc, phs, E2r, E2i, EC,
                         preferred_element_type=S.dtype)
         Bi = jnp.einsum("mnyf,mx->yfnx", X, E2i, precision=prec,
                         preferred_element_type=S.dtype)
-        G = jnp.concatenate([Br, Bi], axis=2)  # (ny, nf, 2 n1, n2)
-        out = jnp.einsum("yfkx,kzx->fyzx", G, EC, precision=prec,
-                         preferred_element_type=S.dtype)
+        # stage C split over the [Br; Bi] halves of EC: summing the two
+        # einsums avoids materializing the (ny, nf, 2 n1, n2) concat (3.4 GB
+        # at T1279)
+        out = (jnp.einsum("yfkx,kzx->fyzx", Br, EC[:n1], precision=prec,
+                          preferred_element_type=S.dtype)
+               + jnp.einsum("yfkx,kzx->fyzx", Bi, EC[n1:], precision=prec,
+                            preferred_element_type=S.dtype))
         return out.reshape(nf, ny * n1 * n2)
     # reduced grid: per-row synthesis circles for the fused Pallas
     # resample+compact kernel (resample_kernel.py)
@@ -346,7 +360,8 @@ def invtrans_fourstep_fused(S, A, mult, phc, phs, E2r, E2i, EC,
                     preferred_element_type=S.dtype)
     Bi = jnp.einsum("mnyf,mx->ynxf", X, E2i, precision=prec,
                     preferred_element_type=S.dtype)
-    G = jnp.concatenate([Br, Bi], axis=1)  # (ny, 2 n1, n2, nf)
-    line = jnp.einsum("ykxf,kzx->yfzx", G, EC, precision=prec,
-                      preferred_element_type=S.dtype)
+    line = (jnp.einsum("ykxf,kzx->yfzx", Br, EC[:n1], precision=prec,
+                       preferred_element_type=S.dtype)
+            + jnp.einsum("ykxf,kzx->yfzx", Bi, EC[n1:], precision=prec,
+                         preferred_element_type=S.dtype))
     return line.reshape(ny, nf, n1 * n2)

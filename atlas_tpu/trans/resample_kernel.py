@@ -46,9 +46,11 @@ def build_resample_compact(shifts, L, nf, WSEL, NB, NXP):
     def kernel(meta_ref, line_ref, planes_ref, offs_ref, out_any, acc_ref,
                outrow, stream, pending, sem):
         r = pl.program_id(0)
+        nrows = pl.num_programs(0)
         nx = meta_ref[r, 0]
         off = meta_ref[r, 1]  # exact (base-relative) output offset
         off_al = meta_ref[r, NB + 2] * 128  # 128-aligned down
+        slot = jax.lax.rem(r, jnp.int32(2))
 
         line = line_ref[0]  # (nf, L)
         lo = -shifts[0]
@@ -88,19 +90,40 @@ def build_resample_compact(shifts, L, nf, WSEL, NB, NXP):
         # the head lanes (the first row of every segment has off == 0, so
         # the uninitialized carry is never read).
         d = off - off_al  # 0..127
-        stream[:, :128] = pending[:, :]
-        stream[:, 128:] = outrow[:, :]
         NS = NXP + 128
+
+        # double-buffered output DMA: drain the slot we are about to reuse
+        # (overlapping tail/head bytes between consecutive rows carry
+        # identical values, so cross-row write order is immaterial)
+        @pl.when(r >= 2)
+        def _():
+            prev_al = meta_ref[r - 2, NB + 2] * 128
+            pltpu.make_async_copy(
+                stream.at[slot], out_any.at[:, pl.ds(prev_al, NS)],
+                sem.at[slot]).wait()
+
+        stream[slot, :, :128] = pending[:, :]
+        stream[slot, :, 128:] = outrow[:, :]
         # want written[l] = streamvals[(128 - d) + l]
-        rolled = pltpu.roll(stream[:, :], (NS + d - 128) % NS, axis=1)
-        stream[:, :] = rolled
+        rolled = pltpu.roll(stream[slot], (NS + d - 128) % NS, axis=1)
+        stream[slot, :, :] = rolled
         # carry for the next row: outputs at lanes [off + nx - 128, off + nx)
         pend = pltpu.roll(outrow[:, :], (NXP + 128 - nx) % NXP, axis=1)
         pending[:, :] = pend[:, :128]
         copy = pltpu.make_async_copy(
-            stream, out_any.at[:, pl.ds(off_al, NS)], sem)
+            stream.at[slot], out_any.at[:, pl.ds(off_al, NS)], sem.at[slot])
         copy.start()
-        copy.wait()
+
+        @pl.when(r == nrows - 1)
+        def _():
+            copy.wait()
+
+        @pl.when((r == nrows - 1) & (nrows > 1))
+        def _():
+            prev_al = meta_ref[r - 1, NB + 2] * 128
+            pltpu.make_async_copy(
+                stream.at[1 - slot], out_any.at[:, pl.ds(prev_al, NS)],
+                sem.at[1 - slot]).wait()
 
     return kernel
 
@@ -131,9 +154,9 @@ def resample_compact(meta, line, planes, offs, shifts, nf, L, WSEL, NB, NXP,
         scratch_shapes=[
             pltpu.VMEM((nf, L), line.dtype),
             pltpu.VMEM((nf, NXP), line.dtype),
-            pltpu.VMEM((nf, NXP + 128), line.dtype),
+            pltpu.VMEM((2, nf, NXP + 128), line.dtype),
             pltpu.VMEM((nf, 128), line.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -248,17 +271,20 @@ class ResampleCompact:
         self.slow_rows_j = jnp.asarray(self.slow_rows.astype(np.int32))
         self.slow_points = int(self.slow_src.shape[0])
 
-    def tables(self, planes):
-        """Device tables derived from the (W, ny, L) weight planes: per-
-        segment row-major transposed copies + the slow-row slice. Built
-        once; pass the result as a jit ARGUMENT (closure-captured device
-        arrays get embedded as HLO constants on this platform)."""
+    def tables(self, planes=None):
+        """Device tables from the HOST weight planes: per-segment row-major
+        transposed copies + the slow-row slice. Built once; pass the result
+        as a jit ARGUMENT (closure-captured device arrays get embedded as
+        HLO constants on this platform). The full (W, ny, L) planes are
+        never put on device here."""
         if getattr(self, "_ptabs", None) is None:
+            ph = self.fs._planes_host if planes is None else np.asarray(
+                planes)
             segp = tuple(
-                jnp.asarray(jnp.swapaxes(
-                    planes[:, seg["r0"]:seg["r1"]], 0, 1))
+                jnp.asarray(np.ascontiguousarray(np.swapaxes(
+                    ph[:, seg["r0"]:seg["r1"]], 0, 1)))
                 for seg in self.segments)
-            slowp = jnp.asarray(planes[:, self.slow_rows_j])
+            slowp = jnp.asarray(ph[:, np.asarray(self.slow_rows)])
             self._ptabs = (segp, slowp)
         return self._ptabs
 

@@ -361,7 +361,7 @@ class TransLocal:
 
             rc = fs.resampler(nf)
             interp = _jax.default_backend() not in ("tpu", "axon")
-            out = rc.apply(out, rc.tables(fs._planes), fs._shifts,
+            out = rc.apply(out, rc.tables(), fs._shifts,
                            interpret=interp)
         return out
 

@@ -276,7 +276,7 @@ def bench_trans(args):
         phc, phs = tr._phase if tr._phase is not None else (None, None)
         layout = "line" if kind == "resample" else "flat"
         rc = fs.resampler(nf) if kind == "resample" else None
-        rc_tabs = rc.tables(fs._planes) if rc is not None else None
+        rc_tabs = rc.tables() if rc is not None else None
         four_ops = (tr._fourier_mult, rc_tabs)
 
         def four_apply(S, A, mult, rc_tabs):
