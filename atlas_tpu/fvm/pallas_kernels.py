@@ -186,6 +186,10 @@ def gradient_pallas(runs, keys, Sx, Sy, G, ft, interpret=False):
             pltpu.VMEM((2, 2, li, nxw), ft.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        # wide rows (O640+: nxw_pad >= 2688) exceed the conservative 16 MB
+        # scoped default with double-buffered S tables; v5e has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 2**20)),
         interpret=interpret,
     )(Sx, Sy, G, ft, ft)
     return gx, gy
