@@ -136,7 +136,12 @@ def load_legendre(path: str):
         return None
     try:
         with np.load(path) as z:
-            return z["P"]
+            P = z["P"]
+        try:  # upgrade: pay the zlib decompression only once
+            save_legendre(path, P)
+        except OSError:
+            pass
+        return P
     except Exception:
         return None
 

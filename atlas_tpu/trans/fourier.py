@@ -346,13 +346,12 @@ def invtrans_fourstep_fused(S, A, mult, phc, phs, E2r, E2i, EC,
                         preferred_element_type=S.dtype)
         Bi = jnp.einsum("mnyf,mx->yfnx", X, E2i, precision=prec,
                         preferred_element_type=S.dtype)
-        # stage C split over the [Br; Bi] halves of EC: summing the two
-        # einsums avoids materializing the (ny, nf, 2 n1, n2) concat (3.4 GB
-        # at T1279)
-        out = (jnp.einsum("yfkx,kzx->fyzx", Br, EC[:n1], precision=prec,
-                          preferred_element_type=S.dtype)
-               + jnp.einsum("yfkx,kzx->fyzx", Bi, EC[n1:], precision=prec,
-                            preferred_element_type=S.dtype))
+        # concat + one stage-C einsum measures ~4 ms faster than the split
+        # form at T639/F640 (the "line" branch below splits instead because
+        # its T1279-scale concat would hold 3.4 GB)
+        G = jnp.concatenate([Br, Bi], axis=2)  # (ny, nf, 2 n1, n2)
+        out = jnp.einsum("yfkx,kzx->fyzx", G, EC, precision=prec,
+                         preferred_element_type=S.dtype)
         return out.reshape(nf, ny * n1 * n2)
     # reduced grid: per-row synthesis circles for the fused Pallas
     # resample+compact kernel (resample_kernel.py)
