@@ -23,7 +23,7 @@ def _free_port():
     return port
 
 
-def test_two_process_sharded_swe_matches_serial():
+def _run_workers():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "_multihost_worker.py")
     coord = f"127.0.0.1:{_free_port()}"
@@ -46,6 +46,17 @@ def test_two_process_sharded_swe_matches_serial():
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_sharded_swe_matches_serial():
+    # one retry: under a fully loaded CI host the two extra jax processes
+    # can hit gloo coordination timeouts (contention flake, not a product
+    # failure — the run is deterministic when it starts cleanly)
+    for attempt in (0, 1):
+        procs, outs = _run_workers()
+        if all(p.returncode == 0 for p in procs):
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST-OK pid={pid}" in out, out[-3000:]
