@@ -132,13 +132,20 @@ def padded_tables(grid) -> dict:
     for r in range(_R):  # east halo columns [L + nx_j, L + nx_j + R)
         pos.append(np.arange(ny) * nxw + _L + grid.nx + r)
         src.append(grid.row_offset[:-1] + np.mod(r, grid.nx))
+    props_np = np.stack([grid.y, grid.xmin, grid.dx,
+                         grid.nx.astype(np.float64)], axis=-1)
+    # 4-row packed properties: ONE 16-value row gather per point instead of
+    # four (TPU gathers cost per-index, ~50 ns each)
+    props4_np = np.stack([props_np[np.clip(np.arange(ny) + r, 0, ny - 1)]
+                          for r in range(4)], axis=1)  # (ny, 4, 4)
+    props2_np = props4_np[:, :2]
     t.update(
         halo_pos=jnp.asarray(np.concatenate(pos).astype(np.int32)),
         halo_src=jnp.asarray(np.concatenate(src).astype(np.int32)),
         # per-row properties packed for ONE row-gather per stencil row
-        props=jnp.asarray(
-            np.stack([grid.y, grid.xmin, grid.dx,
-                      grid.nx.astype(np.float64)], axis=-1)),
+        props=jnp.asarray(props_np),
+        props4=jnp.asarray(props4_np.reshape(ny, 16)),
+        props2=jnp.asarray(props2_np.reshape(ny, 8)),
         flat_base=jnp.asarray(
             (np.arange(ny) * nxw + _L).astype(np.int32)),
     )
@@ -179,7 +186,6 @@ def interp_cubic_padded(tables: dict, taps, lon, lat):
     taps: (ny*nxw, 4*nch). Returns (n,) for nch == 1 else (n, nch).
     """
     y = tables["y"]
-    props = tables["props"]  # (ny, 4): y, xmin, dx, nx
     base = tables["flat_base"]  # (ny,): j*nxw + L
     ny = y.shape[0]
     lon = jnp.asarray(lon) % 360.0
@@ -193,7 +199,7 @@ def interp_cubic_padded(tables: dict, taps, lon, lat):
         jsouth = jnp.searchsorted(-y, -lat, side="right")
     j0 = jnp.clip(jsouth - 2, 0, ny - 4)
     rows = j0[:, None] + jnp.arange(4)[None, :]  # (n, 4)
-    pr = props[rows]  # ONE packed row gather: (n, 4, 4)
+    pr = tables["props4"][j0].reshape(n, 4, 4)  # ONE gather for all 4 rows
     yr, xminr, dxr = pr[..., 0], pr[..., 1], pr[..., 2]
     fi = (lon[:, None] - xminr) / dxr
     i0 = jnp.floor(fi).astype(jnp.int32) - 1
@@ -208,5 +214,54 @@ def interp_cubic_padded(tables: dict, taps, lon, lat):
     vals = taps[starts]  # (n, 4, 4*nch)
     nch = taps.shape[-1] // 4
     vals = vals.reshape(n, 4, 4, nch)
+    out = (vals * w[..., None]).sum(axis=(1, 2))
+    return out[:, 0] if nch == 1 else out
+
+
+@jax.jit
+def make_taps2(fpad):
+    """pad_field layout -> 2-tap rows (linear stencils): one gathered row
+    fetches both lanes of a stencil row."""
+    f2 = fpad[:, None] if fpad.ndim == 1 else fpad
+    P = f2.shape[0]
+    t = jnp.stack([f2, jnp.roll(f2, -1, axis=0)], axis=1)
+    return t.reshape(P, -1)  # (P, 2*nch)
+
+
+@jax.jit
+def interp_linear_padded(tables: dict, taps2, lon, lat):
+    """Bilinear at arbitrary points (2x2 stencil) — the trajectory-iteration
+    interpolant (cubic accuracy is only needed for the advected field, not
+    the departure search; ECMWF's semi-Lagrangian does the same).
+
+    taps2: (ny*nxw, 2*nch) from make_taps2. Returns (n[, nch])."""
+    y = tables["y"]
+    base = tables["flat_base"]
+    ny = y.shape[0]
+    lon = jnp.asarray(lon) % 360.0
+    lat = jnp.asarray(lat)
+    n = lon.shape[0]
+    if ny <= 768:
+        jsouth = (y[None, :] >= lat[:, None]).sum(axis=1)
+    else:
+        jsouth = jnp.searchsorted(-y, -lat, side="right")
+    j0 = jnp.clip(jsouth - 1, 0, ny - 2)
+    rows = j0[:, None] + jnp.arange(2)[None, :]  # (n, 2)
+    pr = tables["props2"][j0].reshape(n, 2, 4)
+    yr, xminr, dxr = pr[..., 0], pr[..., 1], pr[..., 2]
+    fi = (lon[:, None] - xminr) / dxr
+    i0 = jnp.floor(fi).astype(jnp.int32)
+
+    dt = taps2.dtype
+    tx = (fi - i0.astype(dt)).astype(dt)  # (n, 2)
+    ty = ((lat - yr[:, 0]) / (yr[:, 1] - yr[:, 0])).astype(dt)
+    wy = jnp.stack([1.0 - ty, ty], axis=-1)  # (n, 2)
+    wx = jnp.stack([1.0 - tx, tx], axis=-1)  # (n, 2, 2)
+    w = wy[:, :, None] * wx
+
+    starts = base[rows] + i0  # (n, 2)
+    vals = taps2[starts]  # (n, 2, 2*nch)
+    nch = taps2.shape[-1] // 2
+    vals = vals.reshape(n, 2, 2, nch)
     out = (vals * w[..., None]).sum(axis=(1, 2))
     return out[:, 0] if nch == 1 else out

@@ -15,16 +15,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..grid.stencil import (interp_cubic_padded, interp_structured_cubic,
-                            make_taps, pad_field, padded_tables)
+from ..grid.stencil import (interp_cubic_padded, interp_linear_padded,
+                            interp_structured_cubic, make_taps, make_taps2,
+                            pad_field, padded_tables)
 from ..util.constants import DEG2RAD, EARTH_RADIUS, RAD2DEG
 
 
 class SemiLagrangianAdvection:
-    def __init__(self, grid, radius: float = EARTH_RADIUS, iterations: int = 2):
+    def __init__(self, grid, radius: float = EARTH_RADIUS,
+                 iterations: int = 2, traj_order: int = 3):
+        """traj_order 1 evaluates the midpoint wind with BILINEAR stencils
+        during the departure iteration (the advected field still uses the
+        full cubic) — the standard NWP trade: trajectory accuracy is limited
+        by the fixed-point iteration, not the wind interpolant, and the 2x2
+        stencil costs 4x fewer TPU gather rows."""
         self.grid = grid
         self.radius = float(radius)
         self.iterations = int(iterations)
+        self.traj_order = int(traj_order)
         tables = padded_tables(grid)
         self.nxw = tables.pop("nxw")  # static (not a jit pytree leaf)
         self.tables = tables
@@ -37,12 +45,19 @@ class SemiLagrangianAdvection:
         return make_taps(pad_field(jnp.asarray(f), t["row_offset"], self.nxw,
                                    t["halo_pos"], t["halo_src"]))
 
+    def _taps_uv(self, uv):
+        t = self.tables
+        fp = pad_field(jnp.asarray(uv), t["row_offset"], self.nxw,
+                       t["halo_pos"], t["halo_src"])
+        return make_taps2(fp) if self.traj_order == 1 else make_taps(fp)
+
     def departure_points(self, u, v, dt):
         """Midpoint-rule departure points (lon_d, lat_d) in degrees."""
         uv = jnp.stack([jnp.asarray(u), jnp.asarray(v)], axis=-1)
         return _departure(
-            self.tables, self.lon, self.lat, self._taps(uv),
+            self.tables, self.lon, self.lat, self._taps_uv(uv),
             jnp.asarray(dt), jnp.asarray(self.radius), self.iterations,
+            self.traj_order,
         )
 
     def step(self, q, u, v, dt):
@@ -51,14 +66,17 @@ class SemiLagrangianAdvection:
         return interp_cubic_padded(self.tables, self._taps(q), lon_d, lat_d)
 
 
-@partial(jax.jit, static_argnums=6)
-def _departure(tables, lon, lat, uv_taps, dt, radius, iterations):
+@partial(jax.jit, static_argnums=(6, 7))
+def _departure(tables, lon, lat, uv_taps, dt, radius, iterations,
+               traj_order=3):
     d2r = jnp.asarray(DEG2RAD, lon.dtype)
+    interp = (interp_linear_padded if traj_order == 1
+              else interp_cubic_padded)
     lon_d, lat_d = lon, lat
     for _ in range(iterations):
         lon_m = 0.5 * (lon + lon_d)
         lat_m = 0.5 * (lat + lat_d)
-        uv_m = interp_cubic_padded(tables, uv_taps, lon_m, lat_m)  # (n, 2)
+        uv_m = interp(tables, uv_taps, lon_m, lat_m)  # (n, 2)
         u_m, v_m = uv_m[:, 0], uv_m[:, 1]
         coslat = jnp.cos(lat_m * d2r)
         lon_d = lon - u_m * dt / (radius * jnp.maximum(coslat, 1e-6)) / d2r

@@ -707,7 +707,6 @@ def bench_conservative(args):
     from atlas_tpu.interpolation import Interpolation
     from atlas_tpu.linalg import WindowedELL, windowed_ell_apply
     from atlas_tpu.model.semi_lagrangian import SemiLagrangianAdvection
-    from atlas_tpu.model.semilag_fast import SemiLagrangianFast
 
     dtype = jnp.dtype(args.dtype)
     cs = Grid("CS-LFR-64" if not args.quick else "CS-LFR-16")
@@ -732,7 +731,9 @@ def bench_conservative(args):
     assert max_rel_err < tol, f"remap accuracy gate: {max_rel_err} >= {tol}"
 
     tabs = well.tables(dtype)
-    K = max(args.niter, 20)
+    # the remap is ~0.3 ms against a ~25 ms fixed dispatch+fetch cost, so
+    # the chain difference needs a long chain to condition the measurement
+    K = max(args.niter, 200)
 
     def make_chain():
         def make(k):
@@ -749,12 +750,15 @@ def bench_conservative(args):
         return make(1), make(K), K
 
     t_cons, note_c = _fori_pair(make_chain, f, tabs)
+    K = max(args.niter, 40)  # semilag steps are ~2 ms
 
-    # semi-Lagrangian advection step on the target reduced grid: the
-    # gather-free shift-algebra path (model/semilag_fast.py), accuracy-gated
-    # against the gather-based stencil path
+    # semi-Lagrangian advection step on the target reduced grid:
+    # packed-props stencil gathers with BILINEAR trajectory-iteration wind
+    # (the advected field keeps the full cubic; the ECMWF trade — accuracy
+    # is trajectory-iteration-limited either way, measured identical to the
+    # all-cubic path against the analytic solid-body solution)
     t0 = time.time()
-    sl = SemiLagrangianFast(tgt)
+    sl = SemiLagrangianAdvection(tgt, traj_order=1)
     setup_sl = time.time() - t0
     ll = tgt.lonlat()
     u = jnp.asarray(20.0 * np.cos(np.deg2rad(ll[:, 1])), dtype)
@@ -762,29 +766,29 @@ def bench_conservative(args):
     q = jnp.asarray(np.cos(3 * np.deg2rad(ll[:, 0])), dtype)
     dt = jnp.asarray(1800.0, dtype)
 
-    sl_ref = SemiLagrangianAdvection(tgt)
-    a = np.asarray(sl_ref.step(q, u, v, dt))
-    b = np.asarray(sl.step(q, u, v, dt))
-    sl_err = float(np.abs(a - b).max() / np.abs(a).max())
-    assert sl_err < 1e-5, f"fast-vs-gather semilag: {sl_err}"
-
-    qp0 = sl.to_plane(q)
-    uvp0 = sl.to_plane(jnp.stack([u, v], -1))
+    # accuracy gate vs the EXACT solid-body solution: u = 20 cos(lat) is a
+    # rigid rotation at w = 20/R rad/s, so q(t+dt) = q0(lon - w dt)
+    from atlas_tpu.util.constants import EARTH_RADIUS, RAD2DEG
+    dlon = 20.0 / EARTH_RADIUS * 1800.0 * RAD2DEG
+    exact = np.cos(3 * np.deg2rad(ll[:, 0] - dlon))
+    got_sl = np.asarray(sl.step(q, u, v, dt))
+    sl_err = float(np.abs(got_sl - exact).max())
+    assert sl_err < 5e-3, f"semilag vs analytic solid-body: {sl_err}"
 
     def make_chain_sl():
         def make(k):
             @jax.jit
-            def chain(qp, uvp):
-                def body(_, qp):
-                    return sl.step_plane(qp, uvp, dt)
+            def chain(q, u, v):
+                def body(_, q):
+                    return sl.step(q, u, v, dt)
 
-                return jnp.sum(jax.lax.fori_loop(0, k, body, qp))
+                return jnp.sum(jax.lax.fori_loop(0, k, body, q))
 
             return chain
 
         return make(1), make(K), K
 
-    t_sl, note_sl = _fori_pair(make_chain_sl, qp0, uvp0)
+    t_sl, note_sl = _fori_pair(make_chain_sl, q, u, v)
     ntgt, kmax = remap.idx.shape
     # windowed traffic: window reads + weight blocks + src/tgt streams
     traffic = (cs.size + ntgt + well.window_elems()
@@ -800,8 +804,8 @@ def bench_conservative(args):
          "remap_fast_fraction": well.fast_fraction,
          "remap_W_classes": [c["W"] for c in well.classes],
          "max_rel_err": max_rel_err,
-         "semilag_impl": "shift-algebra",
-         "semilag_vs_gather_rel_err": sl_err,
+         "semilag_impl": "stencil-gather, packed props, linear trajectory",
+         "semilag_vs_analytic_err": sl_err,
          "semilag_iter_s": t_sl, "semilag_setup_s": setup_sl,
          "semilag_points_per_s": tgt.size / t_sl,
          "timing_note": f"remap {note_c}; semilag {note_sl}",
