@@ -132,10 +132,24 @@ def fourstep_apply(Fre, Fim, E2r, E2i, EC, n1, n2, M2, precision):
     return out.reshape(nf, ny, n1 * n2)
 
 
+_I0_TABLE = None
+
+
 def _kb_kernel(t, W, beta):
-    """Kaiser-Bessel phi(t), |t| <= W/2 (numpy, setup only)."""
+    """Kaiser-Bessel phi(t), |t| <= W/2 (numpy, setup only).
+
+    np.i0's Chebyshev evaluation costs ~2 s per million points; the O1280
+    setup evaluates 13 x 6.6M taps, so I0 is linearly interpolated from a
+    64k-sample table (interp error ~1e-9 relative — far below the ~1e-7
+    NUFFT kernel error)."""
+    global _I0_TABLE
     x = np.clip(1.0 - (2.0 * t / W) ** 2, 0.0, None)
-    return np.i0(beta * np.sqrt(x)) / np.i0(beta)
+    arg = beta * np.sqrt(x)
+    if _I0_TABLE is None or _I0_TABLE[0] < beta:
+        xs = np.linspace(0.0, max(beta, 1.0), 1 << 16)
+        _I0_TABLE = (max(beta, 1.0), xs, np.i0(xs))
+    _, xs, ys = _I0_TABLE
+    return np.interp(arg, xs, ys) / float(np.i0(beta))
 
 
 def _kb_hat(m, L, W, beta):
