@@ -216,3 +216,30 @@ def test_disk_interpolation_cache(tmp_path, monkeypatch):
     f = np.random.default_rng(0).standard_normal(src.size)
     np.testing.assert_allclose(
         np.asarray(m1.execute(f)), np.asarray(m2.execute(f)), atol=1e-12)
+
+
+def test_pallas_pass1_kernel_matches_windowed():
+    """Experimental Pallas pass-1 (interpolation/pallas_pass1.py) reproduces
+    the XLA windowed pass-1 on its eligible rows + the gather fallback
+    elsewhere (interpret mode off-chip)."""
+    import jax.numpy as jnp
+
+    from atlas_tpu.interpolation import Interpolation
+    from atlas_tpu.interpolation.pallas_pass1 import Pass1Kernel
+    from atlas_tpu.interpolation.structured import _windowed_pass1
+
+    src = Grid("O32")
+    tgt = Grid("L90x46")
+    interp = Interpolation("structured-bicubic", src, tgt)
+    s = interp._sep
+    assert s.Wt is not None
+    nch = 8
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal((src.size, nch)), jnp.float32)
+    t = interp._sep_tables(jnp.float32)
+    ref = np.asarray(_windowed_pass1(t["pad_gather"], t["win_start"],
+                                     t["Wt"], s.nxt, f))
+    pk = Pass1Kernel(interp, nch)
+    assert len(pk.kernel_rows) > 0
+    got = np.asarray(pk.apply(f, t, interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
