@@ -238,12 +238,20 @@ class WindowedELL:
 
     def window_elems(self) -> int:
         """Total window-read + weight-table elements per apply (bench
-        traffic model)."""
+        traffic model, single channel)."""
         tot = 0
         for c in self.classes:
             nb = c["Wt"].shape[0]
             tot += nb * self.B * c["W"] + nb * c["W"]
         return tot
+
+    def window_read_elems(self) -> int:
+        """Window source reads per apply per CHANNEL."""
+        return sum(c["Wt"].shape[0] * c["W"] for c in self.classes)
+
+    def weight_elems(self) -> int:
+        """Weight-table elements read per apply (channel-independent)."""
+        return sum(c["Wt"].shape[0] * self.B * c["W"] for c in self.classes)
 
     def apply(self, f):
         """f: (nsrc,) or (nsrc, nch) -> (ntgt[, nch])."""

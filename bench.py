@@ -719,12 +719,15 @@ def bench_conservative(args):
     # for the W-class ladder, which captures 96% + the rest via wide classes)
     well = WindowedELL(remap.idx, remap.w, cs.size)
     setup_cons = time.time() - t0
-    f = jax.random.normal(jax.random.key(0), (cs.size,), dtype)
+    # multi-level remap: production remaps move full model columns (the
+    # other matrix configs carry nlev levels too)
+    nlev = args.nlev
+    f = jax.random.normal(jax.random.key(0), (cs.size, nlev), dtype)
 
     # accuracy gate: device windowed result vs host f64 gather-dot
-    out_dev = np.asarray(well.apply(f))
-    f64 = np.asarray(f, np.float64)
-    ref = (f64[remap.idx] * remap.w).sum(axis=1)
+    out_dev = np.asarray(well.apply(f[:, :2]))
+    f64 = np.asarray(f[:, :2], np.float64)
+    ref = (f64[remap.idx] * remap.w[..., None]).sum(axis=1)
     scale = np.abs(ref).max()
     max_rel_err = float(np.abs(out_dev - ref).max() / scale)
     tol = 1e-5 if dtype == jnp.float32 else 1e-12
@@ -790,15 +793,17 @@ def bench_conservative(args):
 
     t_sl, note_sl = _fori_pair(make_chain_sl, q, u, v)
     ntgt, kmax = remap.idx.shape
-    # windowed traffic: window reads + weight blocks + src/tgt streams
-    traffic = (cs.size + ntgt + well.window_elems()
-               + 3 * len(well.tgt_slow) * kmax) * jnp.dtype(dtype).itemsize
+    # windowed traffic: per-channel window reads + src/tgt streams, plus the
+    # channel-independent weight blocks
+    traffic = ((cs.size + ntgt + well.window_read_elems()
+                + 3 * len(well.tgt_slow) * kmax) * nlev
+               + well.weight_elems()) * jnp.dtype(dtype).itemsize
     return _emit(
-        f"conservative_{cs.name}_to_{tgt.name}_plus_semilag_targetpoints_per_s",
-        ntgt / t_cons, "targetpoints/s",
+        f"conservative_{cs.name}_to_{tgt.name}_nlev{nlev}_plus_semilag_targetpoints_per_s",
+        ntgt * nlev / t_cons, "targetpoints/s",
         (traffic / t_cons) / 819e9,
         {"metric_kind": "conservative", "src": cs.name, "tgt": tgt.name,
-         "ntgt": int(ntgt), "k_max": int(kmax),
+         "ntgt": int(ntgt), "k_max": int(kmax), "nlev": nlev,
          "remap_iter_s": t_cons, "remap_setup_s": setup_cons,
          "remap_impl": "windowed-ell",
          "remap_fast_fraction": well.fast_fraction,
