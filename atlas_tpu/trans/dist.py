@@ -88,7 +88,8 @@ class TransDistributed:
     AXIS = "sp"
 
     def __init__(self, grid, truncation: int, nparts: int | None = None,
-                 mesh: Mesh | None = None, dtype=jnp.float64):
+                 mesh: Mesh | None = None, dtype=jnp.float64,
+                 precision: str = "highest"):
         from ..grid.structured import StructuredGrid
 
         if not isinstance(grid, StructuredGrid):
@@ -96,6 +97,10 @@ class TransDistributed:
         self.grid = grid
         self.truncation = int(truncation)
         self.dtype = jnp.dtype(dtype)
+        # MXU matmul precision for the Legendre einsums (matches the serial
+        # TransLocal: "highest" = full f32 on TPU; without this the f32
+        # quadrature/synthesis GEMMs run single-pass bf16 at ~1e-3 rel error)
+        self.precision = precision
         if mesh is None:
             devs = jax.devices()
             nparts = nparts or len(devs)
@@ -290,6 +295,9 @@ class TransDistributed:
         t = self.truncation
         nxmax = self.grid.nxmax
         dtype = self.dtype
+        prec = {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[self.precision]
         cplx = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
         m_perm = jnp.asarray(self.m_perm)
         nx_uniform = self.nx_uniform
@@ -366,9 +374,11 @@ class TransDistributed:
             S_parts, A_parts = [], []
             for (Ps, gs, mks, Pa, ga, mka) in tabs:
                 rs = rhs[gs] * mks[..., None]  # (mb, sb, q)
-                S_parts.append(jnp.einsum("mxs,msq->mxq", Ps, rs))
+                S_parts.append(jnp.einsum("mxs,msq->mxq", Ps, rs,
+                                          precision=prec))
                 ra = rhs[ga] * mka[..., None]
-                A_parts.append(jnp.einsum("mxs,msq->mxq", Pa, ra))
+                A_parts.append(jnp.einsum("mxs,msq->mxq", Pa, ra,
+                                          precision=prec))
             cat = (lambda xs: xs[0] if len(xs) == 1
                    else jnp.concatenate(xs, axis=0))
             return cat(S_parts), cat(A_parts)
@@ -463,7 +473,8 @@ class TransDistributed:
                 mb = Ps.shape[0]
                 cmb = jax.lax.dynamic_slice_in_dim(cm, s0, mb, 0)
                 for tab, g_, mk in ((Ps, gs, mks), (Pa, ga, mka)):
-                    blk = jnp.einsum("mys,myq->msq", tab, cmb)
+                    blk = jnp.einsum("mys,myq->msq", tab, cmb,
+                                     precision=prec)
                     out = out.at[g_].add(blk * mk[..., None])
                 s0 += mb
             return out

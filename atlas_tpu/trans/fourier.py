@@ -216,9 +216,16 @@ class FourierSynthesis:
         self._beta = beta
         ny = grid.ny
         mm = np.arange(T + 1)
-        # deconvolution: divide modes by the discrete kernel transform
+        # deconvolution: divide modes by the discrete kernel transform.
+        # Modes beyond the grid Nyquist (T > (nxmax-1)//2) sit outside the
+        # KB kernel band where the oscillating phihat can cross zero; they
+        # are always row-masked downstream, but 1/phihat = inf there turns
+        # mask * deconv into 0 * inf = NaN — zero the deconvolution instead.
         phihat = _kb_hat(mm, L, W, beta)  # (T+1,)
-        self._deconv = 1.0 / phihat
+        mact_max = min(T, (int(nx.max()) - 1) // 2)
+        usable = (mm <= mact_max) & (np.abs(phihat) > 1e-6 * np.abs(phihat[0]))
+        self._deconv = np.where(usable, 1.0 / np.where(usable, phihat, 1.0),
+                                0.0)
 
         offs = grid.row_offset
         # per-point continuous position on the L-circle (x0 shift is applied

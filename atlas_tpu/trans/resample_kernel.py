@@ -92,16 +92,6 @@ def build_resample_compact(shifts, L, nf, WSEL, NB, NXP):
         d = off - off_al  # 0..127
         NS = NXP + 128
 
-        # double-buffered output DMA: drain the slot we are about to reuse
-        # (overlapping tail/head bytes between consecutive rows carry
-        # identical values, so cross-row write order is immaterial)
-        @pl.when(r >= 2)
-        def _():
-            prev_al = meta_ref[r - 2, NB + 2] * 128
-            pltpu.make_async_copy(
-                stream.at[slot], out_any.at[:, pl.ds(prev_al, NS)],
-                sem.at[slot]).wait()
-
         stream[slot, :, :128] = pending[:, :]
         stream[slot, :, 128:] = outrow[:, :]
         # want written[l] = streamvals[(128 - d) + l]
@@ -110,6 +100,22 @@ def build_resample_compact(shifts, L, nf, WSEL, NB, NXP):
         # carry for the next row: outputs at lanes [off + nx - 128, off + nx)
         pend = pltpu.roll(outrow[:, :], (NXP + 128 - nx) % NXP, axis=1)
         pending[:, :] = pend[:, :128]
+
+        # Row r's write region [off_al, off_al + NS) overlaps row r-1's tail
+        # (the lanes past off+nx hold duplicated-last-point data that the next
+        # row overwrites with its true head), and Mosaic async copies carry no
+        # cross-DMA write-ordering guarantee — so wait the PREVIOUS row's DMA
+        # before starting this one. The previous row's copy still overlaps all
+        # of this row's compute (resample + NB selection dots); only the
+        # start is ordered. Buffer reuse stays safe: stream[slot] (row r-2's
+        # buffer) was drained before row r-1's copy started.
+        @pl.when(r >= 1)
+        def _():
+            pltpu.make_async_copy(
+                stream.at[1 - slot],
+                out_any.at[:, pl.ds(meta_ref[r - 1, NB + 2] * 128, NS)],
+                sem.at[1 - slot]).wait()
+
         copy = pltpu.make_async_copy(
             stream.at[slot], out_any.at[:, pl.ds(off_al, NS)], sem.at[slot])
         copy.start()
@@ -117,13 +123,6 @@ def build_resample_compact(shifts, L, nf, WSEL, NB, NXP):
         @pl.when(r == nrows - 1)
         def _():
             copy.wait()
-
-        @pl.when((r == nrows - 1) & (nrows > 1))
-        def _():
-            prev_al = meta_ref[r - 1, NB + 2] * 128
-            pltpu.make_async_copy(
-                stream.at[1 - slot], out_any.at[:, pl.ds(prev_al, NS)],
-                sem.at[1 - slot]).wait()
 
     return kernel
 
