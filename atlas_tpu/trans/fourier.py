@@ -174,8 +174,10 @@ class FourierSynthesis:
     # on dispatch overhead; above it the four-step FLOP saving dominates
     MIN_T_FOURSTEP = 160
     W_TAPS = 12
+    _CACHE_VERSION = 2  # v2: SegmentPlan rows-per-program batching
 
-    def __init__(self, grid, truncation, dtype, x0, mode="auto"):
+    def __init__(self, grid, truncation, dtype, x0, mode="auto",
+                 use_cache=False):
         self.grid = grid
         self.T = int(truncation)
         self.dtype = jnp.dtype(dtype)
@@ -183,6 +185,7 @@ class FourierSynthesis:
         self.uniform = int(nx.min()) == int(nx.max())
         self.kind = "gemm"
         self._tabs = None
+        self._seg_plan = None
         T = self.T
         if mode == "gemm" or (mode == "auto" and T < self.MIN_T_FOURSTEP):
             return
@@ -207,7 +210,58 @@ class FourierSynthesis:
         self.kind = "resample"
         self.L = L
         self._tabs = _fourstep_tables(L, n1, T, self.dtype)
+
+        # resample setup products (KB weight planes, per-point positions,
+        # segment plan incl. transposed device tables) are cached on disk and
+        # mmap-restored: rebuilding them loops over every grid row on the
+        # host and dominated warm T1279 setup (VERDICT r4 ask #2; reference
+        # analog: mmap'd caches, trans/local/TransLocal.cc:652-711)
+        from .resample_kernel import SegmentPlan
+
+        cpath = None
+        if use_cache:
+            from ..io.cache import cache_path, load_packed
+
+            cpath = cache_path(
+                "fourier",
+                f"T{T}-{grid.uid()[:12]}-W{self.W_TAPS}"
+                f"-c{self._CACHE_VERSION}-{self.dtype.name}")
+            arrs = load_packed(cpath)
+            if arrs is not None:
+                try:
+                    fmeta = np.asarray(arrs["__fourier__"])
+                    if int(fmeta[0]) == L and int(fmeta[1]) == self.W_TAPS:
+                        self._restore_resample(arrs)
+                        return
+                except Exception:
+                    pass
         self._build_resample(grid, nx, T, L, x0)
+        self._seg_plan = SegmentPlan(grid, L)
+        if cpath is not None:
+            from ..io.cache import save_packed
+
+            arrs = {"__fourier__": np.asarray([L, self.W_TAPS], np.int64),
+                    "deconv": self._deconv,
+                    "take": np.asarray(self._take),
+                    "planes": self._planes_host}
+            arrs.update(self._seg_plan.packed(self._planes_host))
+            try:
+                save_packed(cpath, arrs)
+            except OSError:
+                pass
+
+    def _restore_resample(self, arrs):
+        """Warm start: mmap'd final arrays, no host rebuild."""
+        from .resample_kernel import SegmentPlan
+
+        W = self.W_TAPS
+        self._deconv = np.asarray(arrs["deconv"])
+        self._take = jnp.asarray(arrs["take"])
+        self._planes_host = arrs["planes"]  # stays mmap'd until used
+        self._planes_dev = None
+        j0 = -(W // 2 - 1)
+        self._shifts = tuple(range(j0, j0 + W))
+        self._seg_plan = SegmentPlan.from_packed(arrs)
 
     # ------------------------------------------------------------- resample
     def _build_resample(self, grid, nx, T, L, x0):

@@ -42,111 +42,128 @@ from jax.experimental.pallas import tpu as pltpu
 BS = 128  # output points per selection block
 
 
-def build_resample_compact(shifts, L, nf, WSEL, NB, NXP):
+def build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R):
     def kernel(meta_ref, line_ref, planes_ref, offs_ref, out_any, acc_ref,
                outrow, stream, pending, sem):
-        r = pl.program_id(0)
-        nrows = pl.num_programs(0)
-        nx = meta_ref[r, 0]
-        off = meta_ref[r, 1]  # exact (base-relative) output offset
-        off_al = meta_ref[r, NB + 2] * 128  # 128-aligned down
-        slot = jax.lax.rem(r, jnp.int32(2))
-
-        line = line_ref[0]  # (nf, L)
-        lo = -shifts[0]
-        acc = line * planes_ref[0, lo][None, :]
-        for k, dc in enumerate(shifts):
-            if dc == 0:
-                continue
-            # circular roll: latitude rows are circles (matches the XLA
-            # path's circular pad)
-            acc = acc + pltpu.roll(line, -dc % L, axis=1) \
-                * planes_ref[0, k][None, :]
-        # windows are dynamic-start slices: only REFs support those in
-        # Mosaic, so stage acc through VMEM scratch
-        acc_ref[:, :] = acc
-
+        p = pl.program_id(0)
+        nrows = pl.num_programs(0) * R
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (WSEL, BS), 0)
-        for b in range(NB):
-
-            @pl.when(b * BS < nx)
-            def _(b=b):
-                # meta stores start/128; the multiply makes the 128-lane
-                # alignment provable to Mosaic
-                y0 = meta_ref[r, 2 + b] * 128
-                win = acc_ref[:, pl.ds(y0, WSEL)]  # (nf, WSEL)
-                rel = offs_ref[0, b] - y0  # (BS,)
-                sel = (iota_w == rel[None, :]).astype(line.dtype)
-                # Mosaic supports only DEFAULT/HIGHEST dot precisions;
-                # HIGHEST keeps the f32 win exact (sel is 0/1)
-                outrow[:, b * BS:(b + 1) * BS] = jnp.dot(
-                    win, sel, preferred_element_type=line.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
-
-        # ---- aligned streaming DMA with carry tile ----------------------
-        # HBM destinations must be 128-lane aligned: rotate this row's
-        # values so the written block starts at off_al = floor(off/128)*128,
-        # carrying the previous row's last 128 outputs in `pending` to fill
-        # the head lanes (the first row of every segment has off == 0, so
-        # the uninitialized carry is never read).
-        d = off - off_al  # 0..127
         NS = NXP + 128
 
-        stream[slot, :, :128] = pending[:, :]
-        stream[slot, :, 128:] = outrow[:, :]
-        # want written[l] = streamvals[(128 - d) + l]
-        rolled = pltpu.roll(stream[slot], (NS + d - 128) % NS, axis=1)
-        stream[slot, :, :] = rolled
-        # carry for the next row: outputs at lanes [off + nx - 128, off + nx)
-        pend = pltpu.roll(outrow[:, :], (NXP + 128 - nx) % NXP, axis=1)
-        pending[:, :] = pend[:, :128]
+        # R rows per program: amortizes per-program pipeline overhead
+        # (1280 single-row programs measured ~54 ms at O1280; the dots and
+        # rolls below account for ~45 of it, the rest is program churn)
+        for rl in range(R):
+            r = p * R + rl
+            nx = meta_ref[r, 0]
+            off = meta_ref[r, 1]  # exact (base-relative) output offset
+            off_al = meta_ref[r, NB + 2] * 128  # 128-aligned down
+            slot = jax.lax.rem(r, jnp.int32(2))
 
-        # Row r's write region [off_al, off_al + NS) overlaps row r-1's tail
-        # (the lanes past off+nx hold duplicated-last-point data that the next
-        # row overwrites with its true head), and Mosaic async copies carry no
-        # cross-DMA write-ordering guarantee — so wait the PREVIOUS row's DMA
-        # before starting this one. The previous row's copy still overlaps all
-        # of this row's compute (resample + NB selection dots); only the
-        # start is ordered. Buffer reuse stays safe: stream[slot] (row r-2's
-        # buffer) was drained before row r-1's copy started.
-        @pl.when(r >= 1)
-        def _():
-            pltpu.make_async_copy(
-                stream.at[1 - slot],
-                out_any.at[:, pl.ds(meta_ref[r - 1, NB + 2] * 128, NS)],
-                sem.at[1 - slot]).wait()
+            line = line_ref[rl]  # (nf, L)
+            lo_tap = -shifts[0]
+            acc = line * planes_ref[rl, lo_tap][None, :]
+            for k, dc in enumerate(shifts):
+                if dc == 0:
+                    continue
+                # circular roll: latitude rows are circles (matches the XLA
+                # path's circular pad)
+                acc = acc + pltpu.roll(line, -dc % L, axis=1) \
+                    * planes_ref[rl, k][None, :]
+            # windows are dynamic-start slices: only REFs support those in
+            # Mosaic, so stage acc through VMEM scratch
+            acc_ref[:, :] = acc
 
-        copy = pltpu.make_async_copy(
-            stream.at[slot], out_any.at[:, pl.ds(off_al, NS)], sem.at[slot])
-        copy.start()
+            for b in range(NB):
 
-        @pl.when(r == nrows - 1)
-        def _():
-            copy.wait()
+                @pl.when(b * BS < nx)
+                def _(b=b, r=r, rl=rl):
+                    # meta stores start/128; the multiply makes the 128-lane
+                    # alignment provable to Mosaic
+                    y0 = meta_ref[r, 2 + b] * 128
+                    win = acc_ref[:, pl.ds(y0, WSEL)]  # (nf, WSEL)
+                    rel = offs_ref[rl, b] - y0  # (BS,)
+                    sel = (iota_w == rel[None, :]).astype(jnp.bfloat16)
+                    # selection dot: each output column picks ONE window
+                    # lane. Mosaic dots support only DEFAULT/HIGHEST; a
+                    # HIGHEST f32 dot costs 6 bf16 MXU passes at 25%
+                    # sublane use (nf=32 rows). Instead split win into
+                    # bf16 hi + bf16 residual stacked on the M axis: ONE
+                    # single-pass bf16 dot at 50% use (~6x faster), exact
+                    # to ~2^-17 relative (sel is 0/1 so no cross terms).
+                    hi = win.astype(jnp.bfloat16)
+                    lo = (win - hi.astype(win.dtype)).astype(jnp.bfloat16)
+                    hl = jnp.concatenate([hi, lo], axis=0)  # (2 nf, WSEL)
+                    o2 = jnp.dot(hl, sel, preferred_element_type=win.dtype)
+                    outrow[:, b * BS:(b + 1) * BS] = o2[:nf] + o2[nf:]
+
+            # ---- aligned streaming DMA with carry tile ------------------
+            # HBM destinations must be 128-lane aligned: rotate this row's
+            # values so the written block starts at off_al =
+            # floor(off/128)*128, carrying the previous row's last 128
+            # outputs in `pending` to fill the head lanes (the first row of
+            # every segment has off == 0, so the uninitialized carry is
+            # never read).
+            d = off - off_al  # 0..127
+
+            stream[slot, :, :128] = pending[:, :]
+            stream[slot, :, 128:] = outrow[:, :]
+            # want written[l] = streamvals[(128 - d) + l]
+            rolled = pltpu.roll(stream[slot], (NS + d - 128) % NS, axis=1)
+            stream[slot, :, :] = rolled
+            # carry for the next row: outputs at [off + nx - 128, off + nx)
+            pend = pltpu.roll(outrow[:, :], (NXP + 128 - nx) % NXP, axis=1)
+            pending[:, :] = pend[:, :128]
+
+            # Row r's write region [off_al, off_al + NS) overlaps row r-1's
+            # tail (the lanes past off+nx hold duplicated-last-point data
+            # that the next row overwrites with its true head), and Mosaic
+            # async copies carry no cross-DMA write-ordering guarantee — so
+            # wait the PREVIOUS row's DMA before starting this one. The
+            # previous row's copy still overlaps all of this row's compute
+            # (resample + NB selection dots); only the start is ordered.
+            # Buffer reuse stays safe: stream[slot] (row r-2's buffer) was
+            # drained before row r-1's copy started.
+            @pl.when(r >= 1)
+            def _(r=r, slot=slot):
+                pltpu.make_async_copy(
+                    stream.at[1 - slot],
+                    out_any.at[:, pl.ds(meta_ref[r - 1, NB + 2] * 128, NS)],
+                    sem.at[1 - slot]).wait()
+
+            copy = pltpu.make_async_copy(
+                stream.at[slot], out_any.at[:, pl.ds(off_al, NS)],
+                sem.at[slot])
+            copy.start()
+
+            @pl.when(r == nrows - 1)
+            def _(copy=copy):
+                copy.wait()
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("shifts", "nf", "L", "WSEL", "NB", "NXP",
-                                   "size_pad", "interpret"))
+                                   "size_pad", "R", "interpret"))
 def resample_compact(meta, line, planes, offs, shifts, nf, L, WSEL, NB, NXP,
-                     size_pad, interpret=False):
+                     size_pad, R=1, interpret=False):
     """line: (nrows, nf, L); planes: (nrows, W, L); offs: (nrows, NB, BS);
     meta: (nrows, 3 + NB) int32 rows [nx, out_offset, win_start_b/128...,
-    out_offset // 128]. Returns (nf, size_pad) flat field-major values
-    (padding tail garbage)."""
+    out_offset // 128]. nrows must be a multiple of R (rows per program).
+    Returns (nf, size_pad) flat field-major values (padding tail garbage)."""
     nrows = line.shape[0]
+    assert nrows % R == 0
     W = planes.shape[1]
-    kernel = build_resample_compact(shifts, L, nf, WSEL, NB, NXP)
+    kernel = build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrows,),
+        grid=(nrows // R,),
         in_specs=[
-            pl.BlockSpec((1, nf, L), lambda r, meta: (r, 0, 0),
+            pl.BlockSpec((R, nf, L), lambda r, meta: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, L), lambda r, meta: (r, 0, 0),
+            pl.BlockSpec((R, W, L), lambda r, meta: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, BS), lambda r, meta: (r, 0, 0),
+            pl.BlockSpec((R, NB, BS), lambda r, meta: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -169,23 +186,29 @@ def resample_compact(meta, line, planes, offs, shifts, nf, L, WSEL, NB, NXP,
     )(meta, line, planes, offs)
 
 
-class ResampleCompact:
-    """Banded setup of resample_compact over a FourierSynthesis grid."""
+class SegmentPlan:
+    """nf-independent banded segmentation of a reduced grid for
+    resample_compact: per-segment meta/offs tables, slow-row gather maps,
+    and (lazily) the per-segment transposed weight-plane device tables.
+
+    Built once per (grid, L) — expensive host loops — and persisted through
+    io.cache.save_packed so a warm TransLocal setup replays the final
+    arrays from mmap (reference analog: the mmap'd Legendre/IO caches,
+    TransLocal.cc:652-711; VERDICT r4 ask #2)."""
 
     # (max oversampling s, selection window) band ladder; a row joins the
     # tightest band whose window covers BS * s + the 128-lane start
     # alignment (Mosaic dynamic lane offsets must be 128-aligned)
     LADDER = ((1.7, 384), (3.6, 640), (8.5, 1280), (15.5, 2176))
+    ROWS_PER_PROGRAM = 16
 
-    def __init__(self, fs, grid, nf):
-        assert fs.kind == "resample"
-        self.fs = fs
-        self.nf = int(nf)
-        L = fs.L
+    def __init__(self, grid, L):
         ny = grid.ny
         nx = grid.nx.astype(np.int64)
         self.L, self.ny = L, ny
         self.grid_size = int(grid.size)
+        self._ptabs = None
+        self._seg_planes_host = None
 
         s = L / np.maximum(nx, 1)
         band_of = np.full(ny, -1, np.int64)
@@ -211,7 +234,23 @@ class ResampleCompact:
 
         self.segments = []
         slow_rows = []
+        # split each band into a bulk part with ROWS_PER_PROGRAM rows per
+        # kernel program (amortizes per-program pipeline overhead) plus a
+        # remainder part running its own (smaller) row batch
+        RB = self.ROWS_PER_PROGRAM
+        split = []
         for (r0, r1, bi) in segs:
+            if bi < 0:
+                split.append((r0, r1, bi, 1))
+                continue
+            n = r1 - r0
+            bulk = (n // RB) * RB
+            if bulk:
+                split.append((r0, r0 + bulk, bi, RB))
+            if n - bulk:
+                split.append((r0 + bulk, r1, bi, n - bulk))
+
+        for (r0, r1, bi, Rp) in split:
             if bi < 0:
                 slow_rows.extend(range(r0, r1))
                 continue
@@ -249,6 +288,7 @@ class ResampleCompact:
             self.segments.append({
                 "r0": r0, "r1": r1, "WSEL": WSEL, "NB": NB, "NXP": NXP,
                 "base": base, "span": span, "size_pad": span + NXP + 256,
+                "R": Rp,
                 "meta": jnp.asarray(meta.astype(np.int32)),
                 "offs": jnp.asarray(
                     offs.reshape(nrows, NB, BS).astype(np.int32)),
@@ -270,22 +310,96 @@ class ResampleCompact:
         self.slow_rows_j = jnp.asarray(self.slow_rows.astype(np.int32))
         self.slow_points = int(self.slow_src.shape[0])
 
-    def tables(self, planes=None):
-        """Device tables from the HOST weight planes: per-segment row-major
-        transposed copies + the slow-row slice. Built once; pass the result
-        as a jit ARGUMENT (closure-captured device arrays get embedded as
-        HLO constants on this platform). The full (W, ny, L) planes are
-        never put on device here."""
-        if getattr(self, "_ptabs", None) is None:
-            ph = self.fs._planes_host if planes is None else np.asarray(
-                planes)
-            segp = tuple(
-                jnp.asarray(np.ascontiguousarray(np.swapaxes(
-                    ph[:, seg["r0"]:seg["r1"]], 0, 1)))
-                for seg in self.segments)
-            slowp = jnp.asarray(ph[:, np.asarray(self.slow_rows)])
-            self._ptabs = (segp, slowp)
+    # ------------------------------------------------------- cache round-trip
+    def packed(self, planes_host) -> dict:
+        """Host arrays for io.cache.save_packed: segment scalars + meta/offs
+        + the per-segment TRANSPOSED weight planes (the exact device layout)
+        + the slow-row maps and plane slice."""
+        out = {"__plan__": np.asarray(
+            [self.L, self.ny, self.grid_size, len(self.segments)], np.int64)}
+        for i, seg in enumerate(self.segments):
+            out[f"seg{i}_scal"] = np.asarray(
+                [seg["r0"], seg["r1"], seg["WSEL"], seg["NB"], seg["NXP"],
+                 seg["base"], seg["span"], seg["size_pad"], seg["R"]],
+                np.int64)
+            out[f"seg{i}_meta"] = np.asarray(seg["meta"])
+            out[f"seg{i}_offs"] = np.asarray(seg["offs"])
+            out[f"seg{i}_planes"] = np.ascontiguousarray(np.swapaxes(
+                planes_host[:, seg["r0"]:seg["r1"]], 0, 1))
+        out["slow_rows"] = self.slow_rows
+        out["slow_src"] = np.asarray(self.slow_src)
+        out["slow_dst"] = np.asarray(self.slow_dst)
+        out["slow_planes"] = np.ascontiguousarray(
+            planes_host[:, self.slow_rows])
+        return out
+
+    @classmethod
+    def from_packed(cls, arrs: dict):
+        obj = cls.__new__(cls)
+        meta = np.asarray(arrs["__plan__"])
+        obj.L, obj.ny, obj.grid_size = int(meta[0]), int(meta[1]), int(meta[2])
+        obj._ptabs = None
+        obj.segments = []
+        seg_planes = []
+        for i in range(int(meta[3])):
+            sc = np.asarray(arrs[f"seg{i}_scal"])
+            obj.segments.append({
+                "r0": int(sc[0]), "r1": int(sc[1]), "WSEL": int(sc[2]),
+                "NB": int(sc[3]), "NXP": int(sc[4]), "base": int(sc[5]),
+                "span": int(sc[6]), "size_pad": int(sc[7]), "R": int(sc[8]),
+                "meta": jnp.asarray(arrs[f"seg{i}_meta"]),
+                "offs": jnp.asarray(arrs[f"seg{i}_offs"]),
+            })
+            seg_planes.append(arrs[f"seg{i}_planes"])  # stays mmap'd
+        obj._seg_planes_host = (seg_planes, arrs["slow_planes"])
+        obj.slow_rows = np.asarray(arrs["slow_rows"])
+        obj.slow_src = jnp.asarray(arrs["slow_src"])
+        obj.slow_dst = jnp.asarray(arrs["slow_dst"])
+        obj.slow_rows_j = jnp.asarray(obj.slow_rows.astype(np.int32))
+        obj.slow_points = int(obj.slow_src.shape[0])
+        return obj
+
+    def tables(self, planes_host=None):
+        """Device tables: per-segment row-major transposed weight planes +
+        the slow-row slice. Built once per plan (shared by every nf);
+        pass the result as a jit ARGUMENT (closure-captured device arrays
+        get embedded as HLO constants on this platform). On a cache hit the
+        transposed host copies come straight from mmap."""
+        if self._ptabs is None:
+            if self._seg_planes_host is not None:
+                seg_hosts, slow_host = self._seg_planes_host
+            else:
+                ph = np.asarray(planes_host)
+                seg_hosts = [np.ascontiguousarray(np.swapaxes(
+                    ph[:, seg["r0"]:seg["r1"]], 0, 1))
+                    for seg in self.segments]
+                slow_host = ph[:, self.slow_rows]
+            self._ptabs = (tuple(jnp.asarray(p) for p in seg_hosts),
+                           jnp.asarray(slow_host))
         return self._ptabs
+
+
+class ResampleCompact:
+    """Per-field-count view of a SegmentPlan: binds nf for the kernel block
+    shapes; all geometry/tables live on (and are shared through) the plan."""
+
+    def __init__(self, fs, grid, nf):
+        assert fs.kind == "resample"
+        self.fs = fs
+        self.nf = int(nf)
+        plan = fs._seg_plan
+        self.plan = plan
+        self.L, self.ny, self.grid_size = plan.L, plan.ny, plan.grid_size
+        self.segments = plan.segments
+        self.slow_rows = plan.slow_rows
+        self.slow_src = plan.slow_src
+        self.slow_dst = plan.slow_dst
+        self.slow_rows_j = plan.slow_rows_j
+        self.slow_points = plan.slow_points
+
+    def tables(self, planes=None):
+        return self.plan.tables(
+            self.fs._planes_host if planes is None else planes)
 
     def apply(self, line, tabs, shifts, interpret=False):
         """line (ny, nf, L) + tables(planes) -> (nf, grid.size)."""
@@ -297,7 +411,7 @@ class ResampleCompact:
                 seg["meta"], line[seg["r0"]:seg["r1"]], pt,
                 seg["offs"], shifts,
                 self.nf, self.L, seg["WSEL"], seg["NB"], seg["NXP"],
-                seg["size_pad"], interpret=interpret)
+                seg["size_pad"], R=seg.get("R", 1), interpret=interpret)
             if seg["base"] != pos:  # slow rows precede: pad with zeros
                 parts.append(jnp.zeros((self.nf, seg["base"] - pos),
                                        line.dtype))
