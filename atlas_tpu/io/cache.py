@@ -96,6 +96,12 @@ def load_shifts(path: str):
                 target[(int(dj), int(dc))] = z[name]
             else:
                 fields[name] = z[name]
+        # canonical (dj, dc)-sorted key order, matching the fresh build
+        # (np.unique ascending): dict order decides the stencil ACCUMULATION
+        # order in the fused kernels, so a cache hit must replay it exactly
+        # or cached vs fresh models differ in the last bits everywhere
+        keys_regular = {k: keys_regular[k] for k in sorted(keys_regular)}
+        keys_pole = {k: keys_pole[k] for k in sorted(keys_pole)}
         out = _Shifts(
             ny=int(meta[0]), nxw=int(meta[1]), L=int(meta[2]), nlev_axis=0,
             keys_regular=keys_regular, keys_pole=keys_pole, **fields,

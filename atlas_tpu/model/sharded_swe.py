@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..partition.simple import balanced_row_starts
 from ..util.constants import DEG2RAD
-from .shallow_water import GRAVITY, ShallowWaterModel, _swe_tendencies
+from .shallow_water import GRAVITY, ShallowWaterModel
 from .pallas_swe import pick_tjs, swe_stage_pallas
 
 
@@ -79,15 +79,15 @@ class ShardedShallowWater:
         nparts = self.nparts
 
         # ---- packed stencil items, identical slot layout on every shard ----
+        # REGULAR keys only, in the serial PallasShallowWater item order;
+        # pole keys are applied as the same XLA post-fix the serial stepper
+        # uses (_pole_fix) so every row's accumulation order is bit-identical
+        # to the serial kernel's (cross-decomposition reproducibility,
+        # reference analog atlas-benchmark.cc:25-28 bit-identical checksums)
         items = [((0, 0, False), s.S_total_regular)]
-        if np.abs(s.S_total_pole).sum() > 0:
-            items.append(((0, 0, True), s.S_total_pole))
         for k, S in s.keys_regular.items():
             if k != (0, 0):
                 items.append(((k[0], k[1], False), S))
-        for k, S in s.keys_pole.items():
-            if k != (0, 0):
-                items.append(((k[0], k[1], True), S))
         self.amax = amax = len(items)
         self.tjs = tjs = pick_tjs(amax, nxw_pad, np.dtype(self.dtype).itemsize)
         self.ny_blk = ny_blk = -(-nyl_max // tjs) * tjs
@@ -113,37 +113,61 @@ class ShardedShallowWater:
                 Sy[p, a, :n, :nxw] = S[lo:hi, :, 1]
             M[p, :, :n, :nxw] = Mg[:, lo:hi]
 
-        # ---- 6-row boundary windows [halo_n, own0, own1, own_last-1,
-        # own_last, halo_s]: global rows [lo-1, lo, lo+1, hi-2, hi-1, hi] ----
-        bnd = {"regular": {}, "pole": {}}
+        # ---- 8-row boundary windows [halo_n, own0, own1, own_last-1,
+        # own_last, halo_s, pad, pad]: global rows [lo-1, lo, lo+1, hi-2,
+        # hi-1, hi] — the SAME fused Pallas stage kernel re-runs on this
+        # window so the two boundary output rows (window rows 1 and 4) are
+        # bit-identical to what the serial kernel computes for them ----
+        self.tjs_w = 8  # Mosaic-minimum row tile; one tile per window
+        SxW = np.zeros((nparts, amax, 8, nxw_pad), np.float64)
+        SyW = np.zeros_like(SxW)
+        MW = np.zeros((nparts, 6, 8, nxw_pad), np.float64)
+        for p in range(nparts):
+            lo, hi = self.starts[p], self.starts[p + 1]
+            rows = np.clip([lo - 1, lo, lo + 1, hi - 2, hi - 1, hi],
+                           0, ny - 1)
+            for a, (_, S) in enumerate(items):
+                SxW[p, a, :6, :nxw] = S[rows, :, 0]
+                SyW[p, a, :6, :nxw] = S[rows, :, 1]
+            MW[p, :, :6, :nxw] = Mg[:, rows]
 
-        def window(a, zero_halo=False):
-            # a: (ny, ...) -> (nparts, 6, nxw_pad, ...)
-            out = np.zeros((nparts, 6) + (nxw_pad,) + a.shape[2:], np.float64)
+        # ---- pole post-fix (serial _pole_fix structure, per shard) --------
+        # within-row antipodal shifts on the polar rows; non-polar shards
+        # carry zero weights on dummy rows (adding -dt*cb*(+/-0) is an
+        # exact identity, so the SPMD program stays uniform)
+        pole_items = []
+        if np.abs(s.S_total_pole).sum() > 0:
+            pole_items.append(((0, 0), s.S_total_pole))
+        for k, S in s.keys_pole.items():
+            if k != (0, 0) and np.abs(S).sum() > 0:
+                pole_items.append((k, S))
+        self._pole_dcs = tuple(int(k[1]) for k, _ in pole_items)
+        pole = None
+        if pole_items:
+            assert all(k[0] == 0 for k, _ in pole_items), \
+                "pole keys are within-row (antipodal) shifts"
+            grows = sorted(set().union(*[
+                set(np.flatnonzero(np.abs(S).sum(axis=(1, 2)) > 0))
+                for _, S in pole_items]))
+            nr = max(len(grows), 1)
+            prow = np.zeros((nparts, nr), np.int32)
+            Spx = np.zeros((nparts, len(pole_items), nr, nxw_pad), np.float64)
+            Spy = np.zeros_like(Spx)
+            Mpx = np.zeros((nparts, nr, nxw_pad), np.float64)
+            Mpy = np.zeros_like(Mpx)
             for p in range(nparts):
                 lo, hi = self.starts[p], self.starts[p + 1]
-                rows = np.clip([lo - 1, lo, lo + 1, hi - 2, hi - 1, hi],
-                               0, ny - 1)
-                out[p, :, :nxw] = a[rows]
-                if zero_halo:
-                    out[p, 0] = 0.0
-                    out[p, 5] = 0.0
-            return out
-
-        for k, S in s.keys_regular.items():
-            if k != (0, 0):
-                bnd["regular"][k] = window(S, zero_halo=False)
-        for k, S in s.keys_pole.items():
-            if k != (0, 0):
-                bnd["pole"][k] = window(S, zero_halo=False)
-        bnd["S_total_regular"] = window(s.S_total_regular)
-        bnd["S_total_pole"] = window(s.S_total_pole)
-        bnd["metric_x"] = window(s.metric_x)
-        bnd["metric_y"] = window(s.metric_y)
-        bnd["cos_lat"] = np.maximum(window(s.cos_lat), 1e-30)
-        bnd["inv_cos"] = 1.0 / bnd["cos_lat"]
-        bnd["mask"] = window(s.mask)
-        bnd["coriolis"] = window(self.serial.coriolis)
+                mine = [g_ for g_ in grows if lo <= g_ < hi]
+                for i, g_ in enumerate(mine):
+                    prow[p, i] = g_ - lo
+                    for a, (_, S) in enumerate(pole_items):
+                        Spx[p, a, i, :nxw] = S[g_, :, 0]
+                        Spy[p, a, i, :nxw] = S[g_, :, 1]
+                    Mpx[p, i, :nxw] = Mg[0, g_]
+                    Mpy[p, i, :nxw] = Mg[1, g_]
+            pole = {"rows": prow, "Spx": Spx, "Spy": Spy,
+                    "Mx": Mpx, "My": Mpy}
+        self._has_pole = pole is not None
 
         # ---- per-shard periodic ghost-column fills (owned rows only) -------
         hr, hd, hs = s.halo_rows, s.halo_dst, s.halo_src
@@ -164,10 +188,13 @@ class ShardedShallowWater:
             src_l[p, : len(s_)] = s_
 
         self._tables_host = {
-            "Sx": Sx, "Sy": Sy, "M": M, "bnd": bnd,
+            "Sx": Sx, "Sy": Sy, "M": M,
+            "SxW": SxW, "SyW": SyW, "MW": MW,
             "xhalo_rows": rows_l, "xhalo_dst": dst_l, "xhalo_src": src_l,
             "nyl": self.nyl.reshape(nparts, 1),
         }
+        if pole is not None:
+            self._tables_host["pole"] = pole
 
     def _tbl(self):
         if self._tables_dev is None:
@@ -224,7 +251,8 @@ class ShardedShallowWater:
         nparts = self.nparts
         spec = P(self.axis_name)
         state_spec = {k: spec for k in ("h", "u", "v")}
-        cfg = (ax, nparts, self.runs, self.amax, self.tjs, self._interpret())
+        cfg = (ax, nparts, self.runs, self.amax, self.tjs, self._pole_dcs,
+               self._interpret())
 
         @partial(
             jax.shard_map,
@@ -279,11 +307,42 @@ def _apply_xhalo(tl, f):
     return f.at[rows, tl["xhalo_dst"]].set(f[rows, tl["xhalo_src"]])
 
 
+def _pole_fix_sharded(tl, dcs, cur, out, dt, cb):
+    """Serial _pole_fix replayed per shard: within-row antipodal
+    energy-gradient contribution added on the (local) polar rows. Non-polar
+    shards execute the same adds with zero weights — exact identities —
+    keeping the SPMD program uniform AND every row's float op sequence
+    identical to the serial stepper's (bit-identical checksums across
+    decompositions, reference atlas-benchmark.cc:25-28)."""
+    from .pallas_swe import _lane_shift
+    from .shallow_water import GRAVITY as _G
+
+    p = tl["pole"]
+    rows = p["rows"]
+    h2, u2, v2 = (x[rows] for x in cur)
+    g = jnp.asarray(_G, h2.dtype)
+    E2 = g * h2 + jnp.asarray(0.5, h2.dtype) * (u2 * u2 + v2 * v2)
+    accx = jnp.zeros_like(E2)
+    accy = jnp.zeros_like(E2)
+    for k, dc in enumerate(dcs):
+        Es = _lane_shift(E2, dc)
+        accx = accx + Es * p["Spx"][k]
+        accy = accy + Es * p["Spy"][k]
+    gx = accx * p["Mx"]
+    gy = accy * p["My"]
+    dtc = jnp.asarray(cb, gx.dtype) * jnp.asarray(dt, gx.dtype)
+    oh, ou, ov = out
+    ou = ou.at[rows].add(-dtc * gx)
+    ov = ov.at[rows].add(-dtc * gy)
+    return oh, ou, ov
+
+
 def _sharded_stage(tl, prev, cur, dt, ca, cb, ax, nparts, runs, amax, tjs,
-                   interpret):
+                   pole_dcs, interpret):
     """One fused RK stage: ppermute first, interior Pallas kernel, then the
-    two boundary rows recomputed from the received halos (overlap-friendly:
-    only the boundary recompute depends on the exchange)."""
+    two boundary rows recomputed by re-running the SAME fused kernel on an
+    8-row window around each band edge (overlap-friendly: only the window
+    call depends on the exchange; bit-identical to the serial kernel)."""
     dtype = cur[0].dtype
     nyl = tl["nyl"][0]
     cur = tuple(_apply_xhalo(tl, f) for f in cur)
@@ -296,32 +355,44 @@ def _sharded_stage(tl, prev, cur, dt, ca, cb, ax, nparts, runs, amax, tjs,
                           *prev, *cur, dt, jnp.asarray(ca, dtype),
                           jnp.asarray(cb, dtype), interpret=interpret)
 
-    # boundary: 6-row window [halo_n, own0, own1, own_l-1, own_l, halo_s];
-    # rows 1 and 4 of the window are computed exactly, the rest discarded
-    win = {}
-    for i, name in enumerate(("h", "u", "v")):
-        f = cur[i]
+    # boundary: the same kernel on the 8-row window [halo_n, own0, own1,
+    # own_l-1, own_l, halo_s, 0, 0]; window rows 1 and 4 see exactly the
+    # neighbor rows the serial kernel sees, so their outputs are
+    # bit-identical to a serial whole-grid run; the rest is discarded
+    nxw_pad = cur[0].shape[1]
+    zpad = jnp.zeros((2, nxw_pad), dtype)
+    z1 = jnp.zeros((1, nxw_pad), dtype)
+    win_c, win_p = [], []
+    for i in range(3):
+        f, pv = cur[i], prev[i]
         last2 = jax.lax.dynamic_slice_in_dim(f, nyl - 2, 2, 0)
-        win[name] = jnp.concatenate(
-            [halo_n[i][None], f[0:2], last2, halo_s[i][None]], axis=0)[None]
-    tend = _swe_tendencies(tl["bnd"], win)
+        last2p = jax.lax.dynamic_slice_in_dim(pv, nyl - 2, 2, 0)
+        win_c.append(jnp.concatenate(
+            [halo_n[i][None], f[0:2], last2, halo_s[i][None], zpad], axis=0))
+        # prev is only read at the two computed rows (slots 1 and 4)
+        win_p.append(jnp.concatenate(
+            [z1, pv[0:2], last2p, z1, zpad], axis=0))
+    runs_w = ((0, 1, runs[0][2]),)
+    ob = swe_stage_pallas(runs_w, amax, 8, tl["SxW"], tl["SyW"], tl["MW"],
+                          *win_p, *win_c, dt, jnp.asarray(ca, dtype),
+                          jnp.asarray(cb, dtype), interpret=interpret)
 
     out = []
-    for i, name in enumerate(("h", "u", "v")):
-        pv, cu = prev[i], cur[i]
-        last_p = jax.lax.dynamic_slice_in_dim(pv, nyl - 1, 1, 0)
-        last_c = jax.lax.dynamic_slice_in_dim(cu, nyl - 1, 1, 0)
-        row0 = ca * pv[0] + cb * (cu[0] + dt * tend[name][0, 1])
-        rowl = ca * last_p + cb * (last_c + dt * tend[name][0, 4][None])
-        o = oi[i].at[0].set(row0)
-        o = jax.lax.dynamic_update_slice_in_dim(o, rowl, nyl - 1, 0)
+    for i in range(3):
+        o = oi[i].at[0].set(ob[i][1])
+        o = jax.lax.dynamic_update_slice_in_dim(o, ob[i][4][None],
+                                                nyl - 1, 0)
         out.append(o)
+    if pole_dcs:
+        out = _pole_fix_sharded(tl, pole_dcs, cur, tuple(out), dt, cb)
     return tuple(out)
 
 
-def _sharded_rk3(tl, huv, dt, ax, nparts, runs, amax, tjs, interpret):
+def _sharded_rk3(tl, huv, dt, ax, nparts, runs, amax, tjs, pole_dcs,
+                 interpret):
     stage = partial(_sharded_stage, tl, ax=ax, nparts=nparts, runs=runs,
-                    amax=amax, tjs=tjs, interpret=interpret)
+                    amax=amax, tjs=tjs, pole_dcs=pole_dcs,
+                    interpret=interpret)
     s1 = stage(huv, huv, dt=dt, ca=0.0, cb=1.0)
     s2 = stage(huv, s1, dt=dt, ca=0.75, cb=0.25)
     s3 = stage(huv, s2, dt=dt, ca=1.0 / 3.0, cb=2.0 / 3.0)

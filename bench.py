@@ -761,7 +761,7 @@ def bench_conservative(args):
     # is trajectory-iteration-limited either way, measured identical to the
     # all-cubic path against the analytic solid-body solution)
     t0 = time.time()
-    sl = SemiLagrangianAdvection(tgt, traj_order=1)
+    sl = SemiLagrangianAdvection(tgt, traj_order=1, impl="auto")
     setup_sl = time.time() - t0
     ll = tgt.lonlat()
     u = jnp.asarray(20.0 * np.cos(np.deg2rad(ll[:, 1])), dtype)
@@ -774,7 +774,14 @@ def bench_conservative(args):
     from atlas_tpu.util.constants import EARTH_RADIUS, RAD2DEG
     dlon = 20.0 / EARTH_RADIUS * 1800.0 * RAD2DEG
     exact = np.cos(3 * np.deg2rad(ll[:, 0] - dlon))
-    got_sl = np.asarray(sl.step(q, u, v, dt))
+    # impl resolved EAGERLY (the shift path's CFL guard needs concrete
+    # wind); the chain below traces the selected callable
+    sl_step = sl.select_step(u, v, dt)
+    sl_impl = ("shift-algebra" if sl._fast is not None
+               and sl_step == sl._fast.step else
+               "stencil-gather, packed props, linear trajectory")
+    sl_cov = sl.coverage(u, v, dt) if "shift" in sl_impl else 1.0
+    got_sl = np.asarray(sl_step(q, u, v, dt))
     sl_err = float(np.abs(got_sl - exact).max())
     assert sl_err < 5e-3, f"semilag vs analytic solid-body: {sl_err}"
 
@@ -783,7 +790,7 @@ def bench_conservative(args):
             @jax.jit
             def chain(q, u, v):
                 def body(_, q):
-                    return sl.step(q, u, v, dt)
+                    return sl_step(q, u, v, dt)
 
                 return jnp.sum(jax.lax.fori_loop(0, k, body, q))
 
@@ -809,7 +816,8 @@ def bench_conservative(args):
          "remap_fast_fraction": well.fast_fraction,
          "remap_W_classes": [c["W"] for c in well.classes],
          "max_rel_err": max_rel_err,
-         "semilag_impl": "stencil-gather, packed props, linear trajectory",
+         "semilag_impl": sl_impl,
+         "semilag_shift_coverage": sl_cov,
          "semilag_vs_analytic_err": sl_err,
          "semilag_iter_s": t_sl, "semilag_setup_s": setup_sl,
          "semilag_points_per_s": tgt.size / t_sl,

@@ -114,3 +114,32 @@ def test_scatter_rejects_multilevel():
     bad = np.zeros((3, sh.ny, sh.nxw))
     with pytest.raises(ValueError, match="nlev=3"):
         sh.scatter(bad)
+
+
+@pytest.mark.parametrize("nparts", [2, 4, 8])
+def test_sharded_checksum_bit_identical(nparts):
+    """Reference guarantee: bit-identical checksums for any decomposition
+    (atlas-benchmark.cc:25-28, parallel/Checksum.h). The sharded stepper
+    re-runs the SAME fused Pallas kernel on the band-edge windows and
+    replays the serial pole post-fix, so gather(sharded) == serial pallas
+    EXACTLY — asserted via the order-independent checksum AND bitwise."""
+    from atlas_tpu.model.pallas_swe import PallasShallowWater
+    from atlas_tpu.parallel.checksum import checksum
+
+    grid = Grid("O16")
+    serial = ShallowWaterModel(grid, dtype=np.float32)
+    ps = PallasShallowWater(serial)
+    s0 = serial.initial_state_williamson2()
+    dt = serial.suggested_dt()
+    huv = tuple(ps.pad(s0[k]) for k in ("h", "u", "v"))
+    out_serial = [np.asarray(x) for x in ps.step(huv, dt)]
+
+    sh = ShardedShallowWater(grid, nparts=nparts, dtype=np.float32)
+    out_sh = sh.gather_state(
+        sh.step(sh.scatter_state({k: np.asarray(v) for k, v in s0.items()}),
+                dt))
+    for i, k in enumerate(("h", "u", "v")):
+        a = out_serial[i][: sh.ny, : sh.nxw]
+        b = out_sh[k][0]
+        assert checksum(a) == checksum(b), f"{k} checksum mismatch"
+        np.testing.assert_array_equal(a, b)

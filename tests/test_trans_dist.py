@@ -140,3 +140,27 @@ def test_dist_invtrans_T159_bucketed_tables():
     b = np.asarray(dist.invtrans(sp))
     np.testing.assert_allclose(b, a, atol=1e-10 * np.abs(a).max())
     assert dist.leg_waste < 1.0, dist.leg_waste
+
+
+def test_dist_fourstep_fourier_matches_serial():
+    """T >= MIN_T_FOURSTEP on a regular grid: the distributed Fourier stage
+    runs the four-step GEMM FFT per device under shard_map and must match
+    the serial TransLocal (which picks the same algorithm)."""
+    import numpy as np
+    from atlas_tpu import Grid
+    from atlas_tpu.trans import TransLocal, nspec2, spectral_index
+    from atlas_tpu.trans.dist import TransDistributed
+
+    g = Grid("F320")
+    T = 319
+    tl = TransLocal(g, T, dtype=np.float32)
+    td = TransDistributed(g, T, nparts=4, dtype=np.float32)
+    assert tl.fourier.kind == "fourstep"
+    assert td.fourstep is not None, "distributed four-step not engaged"
+    rng = np.random.default_rng(0)
+    sp = rng.standard_normal((2, nspec2(T))).astype(np.float32)
+    ms, _ = spectral_index(T)
+    sp[:, 2 * np.flatnonzero(ms == 0) + 1] = 0.0
+    a = np.asarray(tl.invtrans(sp))
+    b = np.asarray(td.invtrans(sp))
+    assert np.abs(a - b).max() / np.abs(a).max() < 1e-5

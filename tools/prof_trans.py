@@ -197,10 +197,19 @@ def mk_gather(k):
     @jax.jit
     def run(rhs, tabs):
         def body(_, rhs):
+            q = rhs.shape[1]
+            pad = 2 * max(max(t_[1].shape[1], t_[3].shape[1])
+                          for t_ in tabs)
+            rp = jnp.pad(rhs, ((0, pad), (0, 0)))
             acc = eps
-            for (Ps, gs, mks, Pa, ga, mka) in tabs:
-                acc = acc + (rhs[gs] * mks[..., None]).mean()
-                acc = acc + (rhs[ga] * mka[..., None]).mean()
+            for (Ps, mks, Pa, mka, starts) in tabs:
+                sb_s, sb_a = mks.shape[1], mka.shape[1]
+                sbmax = max(sb_s, sb_a)
+                sl = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                    rp, (s, jnp.zeros((), s.dtype)), (2 * sbmax, q)))(starts)
+                sl = sl.reshape(sl.shape[0], sbmax, 2, q)
+                acc = acc + (sl[:, :sb_s, 0, :] * mks[..., None]).mean()
+                acc = acc + (sl[:, :sb_a, 1, :] * mka[..., None]).mean()
             return rhs + acc * eps
 
         return jnp.sum(jax.lax.fori_loop(0, k, body, rhs))
