@@ -174,7 +174,7 @@ class FourierSynthesis:
     # on dispatch overhead; above it the four-step FLOP saving dominates
     MIN_T_FOURSTEP = 160
     W_TAPS = 12
-    _CACHE_VERSION = 2  # v2: SegmentPlan rows-per-program batching
+    _CACHE_VERSION = 3  # v3: hemisphere-split segment plan (rev flags)
 
     def __init__(self, grid, truncation, dtype, x0, mode="auto",
                  use_cache=False):
@@ -378,9 +378,45 @@ def invtrans_fourstep_fused(S, A, mult, phc, phs, E2r, E2i, EC,
     row truncation mask (x kernel deconvolution) or None. phc/phs: (ny, t+1)
     x0 phase or None. layout: "flat" -> (nf, ny*L) grid values (uniform
     grids); "line" -> (ny, nf, L) synthesis circles for the reduced-grid
-    resample+compact kernel (resample_kernel.py)."""
+    resample+compact kernel (resample_kernel.py); "line2" -> a
+    (line_north (half, nf, L), line_south (ny-half, nf, L)) PAIR where the
+    south rows stay in latitude-half order h (global row ny-1-h) — no
+    [::-1] flip and no cross-hemisphere concat ever materializes (the two
+    cost ~8 ms of pure data movement at T1279; the resample kernel instead
+    walks south segments with a reversed block index map)."""
     prec = _PRECISIONS[precision]
     t1, half, _ = S.shape
+    if layout == "line2":
+        # per-hemisphere pipeline: mult is a PRE-SPLIT (mult_n (t1, half),
+        # mult_s (t1, ny-half)) pair with the south half already in
+        # latitude-half order (host-side setup) — nothing is flipped or
+        # concatenated at runtime
+        mult_n, mult_s = mult
+        pad = n1 * M2 - t1
+
+        def hemi(F, multh):
+            if multh is not None:
+                F = F * multh[:, :, None]
+            if pad:
+                F = jnp.pad(F, ((0, pad), (0, 0), (0, 0)))
+            nyh = F.shape[1]
+            Xh = F.reshape(M2, n1, nyh, 2, nf)
+            Xh = jnp.concatenate([Xh[:, :, :, 0], Xh[:, :, :, 1]], axis=0)
+            Br = jnp.einsum("mnyf,mx->ynxf", Xh, E2r, precision=prec,
+                            preferred_element_type=S.dtype)
+            Bi = jnp.einsum("mnyf,mx->ynxf", Xh, E2i, precision=prec,
+                            preferred_element_type=S.dtype)
+            line = (jnp.einsum("ykxf,kzx->yfzx", Br, EC[:n1],
+                               precision=prec,
+                               preferred_element_type=S.dtype)
+                    + jnp.einsum("ykxf,kzx->yfzx", Bi, EC[n1:],
+                                 precision=prec,
+                                 preferred_element_type=S.dtype))
+            return line.reshape(nyh, nf, n1 * n2)
+
+        line_n = hemi(S + A, mult_n)
+        line_s = hemi((S - A)[:, : ny - half], mult_s)
+        return line_n, line_s
     # hemisphere combine with minimal materialization: two half-row arrays
     # (south flipped/cropped at this small size), then ONE nested concat
     # assembling the stage-A operand X — the BLOCK q layout (re | im) makes

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 BS = 128  # output points per selection block
 
 
-def build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R):
+def build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R, rev=False):
     def kernel(meta_ref, line_ref, planes_ref, offs_ref, out_any, acc_ref,
                outrow, stream, pending, sem):
         p = pl.program_id(0)
@@ -60,7 +60,12 @@ def build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R):
             off_al = meta_ref[r, NB + 2] * 128  # 128-aligned down
             slot = jax.lax.rem(r, jnp.int32(2))
 
-            line = line_ref[rl]  # (nf, L)
+            # rev: the line block holds SOUTH-hemisphere rows in
+            # latitude-half order (global row ny-1-h); the block index map
+            # already walks blocks backwards, and within the block the
+            # global-ascending row rl sits at line slot R-1-rl. meta/offs/
+            # planes stay global-ascending (their maps are unreversed).
+            line = line_ref[R - 1 - rl if rev else rl]  # (nf, L)
             lo_tap = -shifts[0]
             acc = line * planes_ref[rl, lo_tap][None, :]
             for k, dc in enumerate(shifts):
@@ -144,22 +149,28 @@ def build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R):
 
 
 @partial(jax.jit, static_argnames=("shifts", "nf", "L", "WSEL", "NB", "NXP",
-                                   "size_pad", "R", "interpret"))
+                                   "size_pad", "R", "rev", "interpret"))
 def resample_compact(meta, line, planes, offs, shifts, nf, L, WSEL, NB, NXP,
-                     size_pad, R=1, interpret=False):
+                     size_pad, R=1, rev=False, interpret=False):
     """line: (nrows, nf, L); planes: (nrows, W, L); offs: (nrows, NB, BS);
     meta: (nrows, 3 + NB) int32 rows [nx, out_offset, win_start_b/128...,
     out_offset // 128]. nrows must be a multiple of R (rows per program).
+    rev: the line array holds the segment's rows in REVERSED order (south
+    hemisphere in latitude-half order) — consumed via a backwards block
+    index map; meta/planes/offs stay in global-ascending order.
     Returns (nf, size_pad) flat field-major values (padding tail garbage)."""
     nrows = line.shape[0]
     assert nrows % R == 0
     W = planes.shape[1]
-    kernel = build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R)
+    nprog = nrows // R
+    kernel = build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R, rev)
+    line_map = ((lambda r, meta: (nprog - 1 - r, 0, 0)) if rev
+                else (lambda r, meta: (r, 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrows // R,),
+        grid=(nprog,),
         in_specs=[
-            pl.BlockSpec((R, nf, L), lambda r, meta: (r, 0, 0),
+            pl.BlockSpec((R, nf, L), line_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, W, L), lambda r, meta: (r, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -198,8 +209,13 @@ class SegmentPlan:
 
     # (max oversampling s, selection window) band ladder; a row joins the
     # tightest band whose window covers BS * s + the 128-lane start
-    # alignment (Mosaic dynamic lane offsets must be 128-aligned)
-    LADDER = ((1.7, 384), (3.6, 640), (8.5, 1280), (15.5, 2176))
+    # alignment (Mosaic dynamic lane offsets must be 128-aligned). The last
+    # band's window is a full synthesis circle, so EVERY row with nx >= 128
+    # (the carry-tile minimum) runs in the kernel — the XLA slow path (12
+    # full-width rolls) measured 17.5 ms at O1280 when it still owned all
+    # rows with s > 15.5
+    LADDER = ((1.7, 384), (3.6, 640), (8.5, 1280), (15.5, 2176),
+              (1e9, None))
     ROWS_PER_PROGRAM = 16
 
     def __init__(self, grid, L):
@@ -213,6 +229,8 @@ class SegmentPlan:
         s = L / np.maximum(nx, 1)
         band_of = np.full(ny, -1, np.int64)
         for bi, (smax, wsel) in enumerate(self.LADDER):
+            if wsel is None:
+                wsel = L  # catch-all band: full-circle window
             if wsel > L:
                 continue
             # nx >= 128: the carry tile holds the previous 128 outputs
@@ -234,27 +252,35 @@ class SegmentPlan:
 
         self.segments = []
         slow_rows = []
-        # split each band into a bulk part with ROWS_PER_PROGRAM rows per
-        # kernel program (amortizes per-program pipeline overhead) plus a
-        # remainder part running its own (smaller) row batch
+        # split at the hemisphere boundary (the synthesis arrives as a
+        # (line_north, line_south) pair, the south half in latitude order —
+        # never flipped/concatenated), then split each part into a bulk
+        # chunk with ROWS_PER_PROGRAM rows per kernel program (amortizes
+        # per-program pipeline overhead) plus a remainder chunk
+        self.half = half = (ny + 1) // 2
         RB = self.ROWS_PER_PROGRAM
         split = []
         for (r0, r1, bi) in segs:
             if bi < 0:
                 split.append((r0, r1, bi, 1))
                 continue
-            n = r1 - r0
-            bulk = (n // RB) * RB
-            if bulk:
-                split.append((r0, r0 + bulk, bi, RB))
-            if n - bulk:
-                split.append((r0 + bulk, r1, bi, n - bulk))
+            parts = ([(r0, r1)] if r1 <= half or r0 >= half
+                     else [(r0, half), (half, r1)])
+            for (q0, q1) in parts:
+                n = q1 - q0
+                bulk = (n // RB) * RB
+                if bulk:
+                    split.append((q0, q0 + bulk, bi, RB))
+                if n - bulk:
+                    split.append((q0 + bulk, q1, bi, n - bulk))
 
         for (r0, r1, bi, Rp) in split:
             if bi < 0:
                 slow_rows.extend(range(r0, r1))
                 continue
             WSEL = self.LADDER[bi][1]
+            if WSEL is None:
+                WSEL = L
             nxm = int(nx[r0:r1].max())
             NXP = -(-nxm // BS) * BS
             NB = NXP // BS
@@ -288,7 +314,7 @@ class SegmentPlan:
             self.segments.append({
                 "r0": r0, "r1": r1, "WSEL": WSEL, "NB": NB, "NXP": NXP,
                 "base": base, "span": span, "size_pad": span + NXP + 256,
-                "R": Rp,
+                "R": Rp, "rev": r0 >= half,
                 "meta": jnp.asarray(meta.astype(np.int32)),
                 "offs": jnp.asarray(
                     offs.reshape(nrows, NB, BS).astype(np.int32)),
@@ -296,6 +322,7 @@ class SegmentPlan:
 
         # slow rows: caller-side gather (tiny polar circles)
         self.slow_rows = np.asarray(slow_rows, np.int64)
+        self._split_slow()
         src, dst = [], []
         for i, r in enumerate(self.slow_rows):
             n = int(nx[r])
@@ -310,17 +337,31 @@ class SegmentPlan:
         self.slow_rows_j = jnp.asarray(self.slow_rows.astype(np.int32))
         self.slow_points = int(self.slow_src.shape[0])
 
+    def _split_slow(self):
+        """Hemisphere-split gather indices for the slow rows (north rows
+        index line_north directly; south global row g sits at latitude-half
+        slot ny-1-g of line_south). slow_rows is globally ascending, so the
+        north block precedes the south block — matching the concat order in
+        apply() and the slow plane table order."""
+        sr = self.slow_rows
+        half = self.half
+        self.slow_n_j = jnp.asarray(sr[sr < half].astype(np.int32))
+        self.slow_s_h_j = jnp.asarray(
+            (self.ny - 1 - sr[sr >= half]).astype(np.int32))
+
     # ------------------------------------------------------- cache round-trip
     def packed(self, planes_host) -> dict:
         """Host arrays for io.cache.save_packed: segment scalars + meta/offs
         + the per-segment TRANSPOSED weight planes (the exact device layout)
         + the slow-row maps and plane slice."""
         out = {"__plan__": np.asarray(
-            [self.L, self.ny, self.grid_size, len(self.segments)], np.int64)}
+            [self.L, self.ny, self.grid_size, len(self.segments),
+             self.half], np.int64)}
         for i, seg in enumerate(self.segments):
             out[f"seg{i}_scal"] = np.asarray(
                 [seg["r0"], seg["r1"], seg["WSEL"], seg["NB"], seg["NXP"],
-                 seg["base"], seg["span"], seg["size_pad"], seg["R"]],
+                 seg["base"], seg["span"], seg["size_pad"], seg["R"],
+                 int(seg["rev"])],
                 np.int64)
             out[f"seg{i}_meta"] = np.asarray(seg["meta"])
             out[f"seg{i}_offs"] = np.asarray(seg["offs"])
@@ -338,6 +379,7 @@ class SegmentPlan:
         obj = cls.__new__(cls)
         meta = np.asarray(arrs["__plan__"])
         obj.L, obj.ny, obj.grid_size = int(meta[0]), int(meta[1]), int(meta[2])
+        obj.half = int(meta[4])
         obj._ptabs = None
         obj.segments = []
         seg_planes = []
@@ -347,6 +389,7 @@ class SegmentPlan:
                 "r0": int(sc[0]), "r1": int(sc[1]), "WSEL": int(sc[2]),
                 "NB": int(sc[3]), "NXP": int(sc[4]), "base": int(sc[5]),
                 "span": int(sc[6]), "size_pad": int(sc[7]), "R": int(sc[8]),
+                "rev": bool(sc[9]),
                 "meta": jnp.asarray(arrs[f"seg{i}_meta"]),
                 "offs": jnp.asarray(arrs[f"seg{i}_offs"]),
             })
@@ -357,6 +400,7 @@ class SegmentPlan:
         obj.slow_dst = jnp.asarray(arrs["slow_dst"])
         obj.slow_rows_j = jnp.asarray(obj.slow_rows.astype(np.int32))
         obj.slow_points = int(obj.slow_src.shape[0])
+        obj._split_slow()
         return obj
 
     def tables(self, planes_host=None):
@@ -390,39 +434,60 @@ class ResampleCompact:
         plan = fs._seg_plan
         self.plan = plan
         self.L, self.ny, self.grid_size = plan.L, plan.ny, plan.grid_size
+        self.half = plan.half
         self.segments = plan.segments
         self.slow_rows = plan.slow_rows
         self.slow_src = plan.slow_src
         self.slow_dst = plan.slow_dst
         self.slow_rows_j = plan.slow_rows_j
         self.slow_points = plan.slow_points
+        self.slow_n_j = plan.slow_n_j
+        self.slow_s_h_j = plan.slow_s_h_j
 
     def tables(self, planes=None):
         return self.plan.tables(
             self.fs._planes_host if planes is None else planes)
 
     def apply(self, line, tabs, shifts, interpret=False):
-        """line (ny, nf, L) + tables(planes) -> (nf, grid.size)."""
+        """line: (line_north (half, nf, L), line_south (ny-half, nf, L))
+        hemisphere pair (south in latitude-half order, never flipped), or a
+        legacy single (ny, nf, L) array -> (nf, grid.size)."""
+        if not isinstance(line, tuple):
+            line = (line[: self.half], line[self.half:][::-1])
+        line_n, line_s = line
+        ny = self.ny
         segp, slowp = tabs
         parts = []
         pos = 0
         for seg, pt in zip(self.segments, segp):
+            if seg.get("rev", False):
+                blk = jax.lax.slice_in_dim(
+                    line_s, ny - seg["r1"], ny - seg["r0"], axis=0)
+            else:
+                blk = line_n[seg["r0"]:seg["r1"]]
             out = resample_compact(
-                seg["meta"], line[seg["r0"]:seg["r1"]], pt,
+                seg["meta"], blk, pt,
                 seg["offs"], shifts,
                 self.nf, self.L, seg["WSEL"], seg["NB"], seg["NXP"],
-                seg["size_pad"], R=seg.get("R", 1), interpret=interpret)
+                seg["size_pad"], R=seg.get("R", 1),
+                rev=seg.get("rev", False), interpret=interpret)
             if seg["base"] != pos:  # slow rows precede: pad with zeros
                 parts.append(jnp.zeros((self.nf, seg["base"] - pos),
-                                       line.dtype))
+                                       line_n.dtype))
             parts.append(out[:, : seg["span"]])
             pos = seg["base"] + seg["span"]
         if pos < self.grid_size:
             parts.append(jnp.zeros((self.nf, self.grid_size - pos),
-                                   line.dtype))
+                                   line_n.dtype))
         out = jnp.concatenate(parts, axis=1)
         if self.slow_points:
-            lsl = line[self.slow_rows_j]      # (nslow, nf, L)
+            pieces = []
+            if self.slow_n_j.shape[0]:
+                pieces.append(line_n[self.slow_n_j])
+            if self.slow_s_h_j.shape[0]:
+                pieces.append(line_s[self.slow_s_h_j])
+            lsl = (pieces[0] if len(pieces) == 1
+                   else jnp.concatenate(pieces, axis=0))  # (nslow, nf, L)
             lo = -shifts[0]
             acc = lsl * slowp[lo][:, None, :]
             for k, dc in enumerate(shifts):

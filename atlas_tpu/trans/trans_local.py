@@ -284,6 +284,7 @@ class TransLocal:
                                         mode=self.fourier_mode,
                                         use_cache=self.use_cache)
         self._fourier_mult = None
+        self._fourier_mult2 = (None, None)
         if self.fourier.kind != "gemm":
             mact = np.minimum(t, (self.nx - 1) // 2)  # per-row Nyquist
             mask = (mm[None, :] <= mact[:, None]).astype(np.float64)
@@ -293,6 +294,16 @@ class TransLocal:
                 mult = None if mask.all() else mask
             self._fourier_mult = (None if mult is None
                                   else jnp.asarray(mult, self.dtype))
+            if mult is not None and self.fourier.kind == "resample":
+                # hemisphere-split pair for the "line2" fused path: south
+                # half PRE-reversed on the host (latitude-half order h maps
+                # global row ny-1-h) so no runtime flip exists
+                mT = mult.T
+                half = self.nlat_half
+                self._fourier_mult2 = (
+                    jnp.asarray(mT[:, :half], self.dtype),
+                    jnp.asarray(np.ascontiguousarray(mT[:, half:][:, ::-1]),
+                                self.dtype))
         offs = grid.row_offset
         groups = []
         if self.fourier.kind == "gemm":
@@ -375,15 +386,23 @@ class TransLocal:
 
     def _fourstep_fused(self, S, A, nf):
         """Four-step (+resample/compact) fused Fourier path (fourier.py +
-        resample_kernel.py)."""
+        resample_kernel.py). Reduced unshifted grids take the hemisphere-
+        split "line2" layout (no flip / cross-hemisphere concat); shifted
+        reduced grids keep the single-line layout (the x0 phase mixes
+        re/im before the hemisphere split)."""
         from .fourier import invtrans_fourstep_fused
 
         fs = self.fourier
         tb = fs._tabs
         phc, phs = self._phase if self._phase is not None else (None, None)
-        layout = "line" if fs.kind == "resample" else "flat"
+        if fs.kind != "resample":
+            layout, mult = "flat", self._fourier_mult
+        elif self._phase is None:
+            layout, mult = "line2", self._fourier_mult2
+        else:
+            layout, mult = "line", self._fourier_mult
         out = invtrans_fourstep_fused(
-            S, A, self._fourier_mult, phc, phs, tb["E2r"], tb["E2i"],
+            S, A, mult, phc, phs, tb["E2r"], tb["E2i"],
             tb["EC"], self.grid.ny, nf,
             tb["n1"], tb["n2"], tb["M2"], self.precision, layout)
         if fs.kind == "resample":
@@ -482,16 +501,33 @@ class TransLocal:
         im = spectra[:, 1::2] * self._im_mask
         # d/dlon: multiply a_mn by i m -> (re, im) -> (-m im, m re)
         m_k = jnp.asarray(self.ms.astype(np.float64), self.dtype)
-        rhs = _pack_pair(re, im)
-        rhs_dx = _pack_pair(-m_k * im, m_k * re)
 
-        fn, fs = _ns_pair(*self.legendre.apply(rhs, self.precision), nf)
-        dxn, dxs = _ns_pair(*self.legendre.apply(rhs_dx, self.precision), nf)
-        dyn, dys = _ns_pair(*self._deriv_tables().apply(rhs, self.precision), nf)
+        if self.fourier.kind != "gemm":
+            # fast path (VERDICT r4 ask #8): f and df/dlon share the P
+            # tables, so ONE Legendre apply at 2 nf fields feeds ONE fused
+            # four-step synthesis (+ Pallas resample on reduced grids); the
+            # H-table derivative runs a second fused call — no field-major
+            # legacy resample (~370 ms at O1280) anywhere
+            rhs2 = _pack_pair(jnp.concatenate([re, -m_k * im], axis=0),
+                              jnp.concatenate([im, m_k * re], axis=0))
+            S2, A2 = self.legendre.apply(rhs2, self.precision)
+            out2 = self._fourstep_fused(S2, A2, 2 * nf)
+            f, dfdx = out2[:nf], out2[nf:]
+            rhs = _pack_pair(re, im)
+            Sh, Ah = self._deriv_tables().apply(rhs, self.precision)
+            dfdy = self._fourstep_fused(Sh, Ah, nf)
+        else:
+            rhs = _pack_pair(re, im)
+            rhs_dx = _pack_pair(-m_k * im, m_k * re)
+            fn, fs = _ns_pair(*self.legendre.apply(rhs, self.precision), nf)
+            dxn, dxs = _ns_pair(
+                *self.legendre.apply(rhs_dx, self.precision), nf)
+            dyn, dys = _ns_pair(
+                *self._deriv_tables().apply(rhs, self.precision), nf)
 
-        f = self._fourier_inv(fn, fs, nf, False)
-        dfdx = self._fourier_inv(dxn, dxs, nf, False)
-        dfdy = self._fourier_inv(dyn, dys, nf, False)
+            f = self._fourier_inv(fn, fs, nf, False)
+            dfdx = self._fourier_inv(dxn, dxs, nf, False)
+            dfdy = self._fourier_inv(dyn, dys, nf, False)
         coslat = np.cos(
             np.repeat(self.grid.y, self.nx) * DEG2RAD)
         inv_rc = jnp.asarray(1.0 / (EARTH_RADIUS * coslat), self.dtype)

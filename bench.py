@@ -274,10 +274,15 @@ def bench_trans(args):
     if kind != "gemm":
         tb = fs._tabs
         phc, phs = tr._phase if tr._phase is not None else (None, None)
-        layout = "line" if kind == "resample" else "flat"
+        if kind == "resample" and tr._phase is None:
+            layout, mult_op = "line2", tr._fourier_mult2
+        elif kind == "resample":
+            layout, mult_op = "line", tr._fourier_mult
+        else:
+            layout, mult_op = "flat", tr._fourier_mult
         rc = fs.resampler(nf) if kind == "resample" else None
         rc_tabs = rc.tables() if rc is not None else None
-        four_ops = (tr._fourier_mult, rc_tabs)
+        four_ops = (mult_op, rc_tabs)
 
         def four_apply(S, A, mult, rc_tabs):
             out = invtrans_fourstep_fused(
