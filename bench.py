@@ -270,6 +270,22 @@ def bench_trans(args):
     fs = tr.fourier
     kind = fs.kind
 
+    # device-upload share, measured separately (jnp.asarray transfers are
+    # async; the constructor returns before they land on HBM). One jitted
+    # first-element sum forces every pending table transfer to completion.
+    t0 = time.time()
+    _leaves = [x for x in jax.tree_util.tree_leaves(
+        (leg_tabs, fs._tabs)) if hasattr(x, "dtype")]
+
+    @jax.jit
+    def _first_sum(xs):
+        return sum(x.reshape(-1)[0].astype(jnp.float32) for x in xs)
+
+    float(_first_sum(_leaves))
+    upload_sync_s = time.time() - t0
+    setup_breakdown = dict(getattr(tr, "setup_detail", {}),
+                           upload_sync_s=upload_sync_s)
+
     # ---- Fourier apply (big tables as ARGS, not closure constants) --------
     if kind != "gemm":
         tb = fs._tabs
@@ -336,6 +352,23 @@ def bench_trans(args):
 
     t_leg, _ = _fori_pair(make_leg, rhs0, leg_tabs)
 
+    # ---- pack-only chain (spectra de-interleave + bucket layout) ----------
+    def make_pack():
+        def make(k):
+            @jax.jit
+            def chain(sp, imm):
+                def body(_, sp):
+                    rhs = _pack_rhs(sp, imm)
+                    return sp + rhs.mean() * jnp.asarray(1e-30, dtype)
+
+                return jnp.sum(jax.lax.fori_loop(0, k, body, sp))
+
+            return chain
+
+        return make(1), make(K), K
+
+    t_pack, _ = _fori_pair(make_pack, sp, im_mask)
+
     # ---- Fourier-only chain (S, A held fixed) ------------------------------
     S0, A0 = _bucketed_leg_apply(leg_tabs, rhs0, prec)
 
@@ -375,7 +408,10 @@ def bench_trans(args):
     detail = {
         "metric_kind": "trans", "truncation": T, "grid": gname, "nf": nf,
         "iter_time_s": t_iter, "legendre_s": t_leg, "fourier_s": t_fou,
-        "setup_s": setup_s, "timing_note": note,
+        "pack_s": t_pack,
+        "stage_sum_fraction": (t_pack + t_leg + t_fou) / t_iter,
+        "setup_s": setup_s, "setup_breakdown": setup_breakdown,
+        "timing_note": note,
         "legendre_GFLOP": flops / 1e9, "fourier_GFLOP": fou_flops / 1e9,
         "fourier_impl": kind,
         "legendre_padding_waste": tr.legendre.waste,

@@ -121,8 +121,12 @@ leg_tabs = tr.legendre.tables
 im_mask = tr._im_mask
 tb = fs._tabs
 phc, phs = tr._phase if tr._phase is not None else (None, None)
-layout = "line" if fs.kind == "resample" else "flat"
-mult = tr._fourier_mult
+if fs.kind == "resample" and tr._phase is None:
+    layout, mult = "line2", tr._fourier_mult2
+elif fs.kind == "resample":
+    layout, mult = "line", tr._fourier_mult
+else:
+    layout, mult = "flat", tr._fourier_mult
 
 from atlas_tpu.trans.fourier import invtrans_fourstep_fused  # noqa: E402
 from atlas_tpu.trans.trans_local import (  # noqa: E402
@@ -248,6 +252,8 @@ def mk_fourstep(k):
             line = invtrans_fourstep_fused(
                 S, A, mult, phc, phs, tb["E2r"], tb["E2i"], tb["EC"],
                 grid.ny, nf, tb["n1"], tb["n2"], tb["M2"], prec, layout)
+            if isinstance(line, tuple):
+                return S + (line[0].mean() + line[1].mean()) * eps
             return S + line.mean() * eps
 
         return jnp.sum(jax.lax.fori_loop(0, k, body, S))
@@ -265,20 +271,24 @@ if rc is not None:
                          "layout"))(
         S0, A0, mult, phc, phs, tb["E2r"], tb["E2i"], tb["EC"],
         grid.ny, nf, tb["n1"], tb["n2"], tb["M2"], prec, layout)
-    sync_tree([line0], "line0")
+    if not isinstance(line0, tuple):
+        line0 = (line0,)
+    sync_tree(list(line0), "line0")
 
     def mk_rc(k):
         @jax.jit
-        def run(line, rct):
-            def body(_, line):
-                out = rc.apply(line, rct, fs._shifts)
-                return line + out.mean() * eps
+        def run(ln, rest, rct):
+            def body(_, ln):
+                pair = (ln,) + tuple(rest)
+                out = rc.apply(pair if len(pair) > 1 else pair[0],
+                               rct, fs._shifts)
+                return ln + out.mean() * eps
 
-            return jnp.sum(jax.lax.fori_loop(0, k, body, line))
+            return jnp.sum(jax.lax.fori_loop(0, k, body, ln))
 
         return run
 
-    fori_pair("resample", mk_rc, line0, rc_tabs)
+    fori_pair("resample", mk_rc, line0[0], line0[1:], rc_tabs)
 
 
 # ---- fourier as benched (fourstep + resample together) -------------------
