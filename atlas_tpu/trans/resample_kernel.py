@@ -111,11 +111,13 @@ def build_resample_compact(shifts, L, nf, WSEL, NB, NXP, R, rev=False):
             # never read).
             d = off - off_al  # 0..127
 
-            stream[slot, :, :128] = pending[:, :]
-            stream[slot, :, 128:] = outrow[:, :]
-            # want written[l] = streamvals[(128 - d) + l]
-            rolled = pltpu.roll(stream[slot], (NS + d - 128) % NS, axis=1)
-            stream[slot, :, :] = rolled
+            # want written[l] = [pending | outrow][(128 - d) + l]: compose
+            # the concat + rotate into ONE scratch write (the previous
+            # two-write + in-place-roll form cost two extra VMEM passes of
+            # the (nf, NS) stream per row)
+            stream[slot, :, :] = pltpu.roll(
+                jnp.concatenate([pending[:, :], outrow[:, :]], axis=1),
+                (NS + d - 128) % NS, axis=1)
             # carry for the next row: outputs at [off + nx - 128, off + nx)
             pend = pltpu.roll(outrow[:, :], (NXP + 128 - nx) % NXP, axis=1)
             pending[:, :] = pend[:, :128]
@@ -336,6 +338,25 @@ class SegmentPlan:
             np.zeros(0, np.int32))
         self.slow_rows_j = jnp.asarray(self.slow_rows.astype(np.int32))
         self.slow_points = int(self.slow_src.shape[0])
+        self._slow_contig()
+
+    def _slow_contig(self):
+        """Slow rows on reduced grids are the polar caps: their grid points
+        form a contiguous PREFIX and SUFFIX of the point order. When that
+        holds, apply() emits them as plain concat pieces — no zero padding
+        and no full-output scatter (an extra ~1.7 GB pass at O1280)."""
+        dst = np.asarray(self.slow_dst)
+        pre_pts = 0
+        while pre_pts < len(dst) and dst[pre_pts] == pre_pts:
+            pre_pts += 1
+        suf_pts = 0
+        while (suf_pts < len(dst) - pre_pts
+               and dst[len(dst) - 1 - suf_pts]
+               == self.grid_size - 1 - suf_pts):
+            suf_pts += 1
+        self.slow_prefix_pts = pre_pts
+        self.slow_suffix_pts = suf_pts
+        self.slow_contig = (pre_pts + suf_pts == len(dst))
 
     def _split_slow(self):
         """Hemisphere-split gather indices for the slow rows (north rows
@@ -401,6 +422,7 @@ class SegmentPlan:
         obj.slow_rows_j = jnp.asarray(obj.slow_rows.astype(np.int32))
         obj.slow_points = int(obj.slow_src.shape[0])
         obj._split_slow()
+        obj._slow_contig()
         return obj
 
     def tables(self, planes_host=None):
@@ -443,6 +465,9 @@ class ResampleCompact:
         self.slow_points = plan.slow_points
         self.slow_n_j = plan.slow_n_j
         self.slow_s_h_j = plan.slow_s_h_j
+        self.slow_contig = plan.slow_contig
+        self.slow_prefix_pts = plan.slow_prefix_pts
+        self.slow_suffix_pts = plan.slow_suffix_pts
 
     def tables(self, planes=None):
         return self.plan.tables(
@@ -457,29 +482,8 @@ class ResampleCompact:
         line_n, line_s = line
         ny = self.ny
         segp, slowp = tabs
-        parts = []
-        pos = 0
-        for seg, pt in zip(self.segments, segp):
-            if seg.get("rev", False):
-                blk = jax.lax.slice_in_dim(
-                    line_s, ny - seg["r1"], ny - seg["r0"], axis=0)
-            else:
-                blk = line_n[seg["r0"]:seg["r1"]]
-            out = resample_compact(
-                seg["meta"], blk, pt,
-                seg["offs"], shifts,
-                self.nf, self.L, seg["WSEL"], seg["NB"], seg["NXP"],
-                seg["size_pad"], R=seg.get("R", 1),
-                rev=seg.get("rev", False), interpret=interpret)
-            if seg["base"] != pos:  # slow rows precede: pad with zeros
-                parts.append(jnp.zeros((self.nf, seg["base"] - pos),
-                                       line_n.dtype))
-            parts.append(out[:, : seg["span"]])
-            pos = seg["base"] + seg["span"]
-        if pos < self.grid_size:
-            parts.append(jnp.zeros((self.nf, self.grid_size - pos),
-                                   line_n.dtype))
-        out = jnp.concatenate(parts, axis=1)
+
+        vals = None
         if self.slow_points:
             pieces = []
             if self.slow_n_j.shape[0]:
@@ -494,6 +498,48 @@ class ResampleCompact:
                 if dc == 0:
                     continue
                 acc = acc + jnp.roll(lsl, -dc, axis=2) * slowp[k][:, None, :]
-            vals = acc.transpose(0, 2, 1).reshape(-1, self.nf)[self.slow_src]
-            out = out.at[:, self.slow_dst].set(vals.T)
+            vals = acc.transpose(0, 2, 1).reshape(
+                -1, self.nf)[self.slow_src].T  # (nf, npts) in dst order
+
+        # slow rows are the polar caps: emit them as plain head/tail concat
+        # pieces instead of zero pads + a full-output scatter (which cost an
+        # extra ~1.7 GB read+write pass at O1280). Statically decided: all
+        # bases/spans/counts are Python ints.
+        use_contig = (vals is not None and self.slow_contig
+                      and len(self.segments) > 0
+                      and self.segments[0]["base"] == self.slow_prefix_pts
+                      and (self.segments[-1]["base"]
+                           + self.segments[-1]["span"]
+                           == self.grid_size - self.slow_suffix_pts))
+        parts = []
+        pos = 0
+        if use_contig and self.slow_prefix_pts:
+            parts.append(vals[:, : self.slow_prefix_pts])
+            pos = self.slow_prefix_pts
+        for seg, pt in zip(self.segments, segp):
+            if seg.get("rev", False):
+                blk = jax.lax.slice_in_dim(
+                    line_s, ny - seg["r1"], ny - seg["r0"], axis=0)
+            else:
+                blk = line_n[seg["r0"]:seg["r1"]]
+            out = resample_compact(
+                seg["meta"], blk, pt,
+                seg["offs"], shifts,
+                self.nf, self.L, seg["WSEL"], seg["NB"], seg["NXP"],
+                seg["size_pad"], R=seg.get("R", 1),
+                rev=seg.get("rev", False), interpret=interpret)
+            if seg["base"] != pos:  # non-contiguous slow rows: zero pad
+                parts.append(jnp.zeros((self.nf, seg["base"] - pos),
+                                       line_n.dtype))
+            parts.append(out[:, : seg["span"]])
+            pos = seg["base"] + seg["span"]
+        if use_contig and self.slow_suffix_pts:
+            parts.append(vals[:, self.slow_prefix_pts:])
+            pos = self.grid_size
+        if pos < self.grid_size:
+            parts.append(jnp.zeros((self.nf, self.grid_size - pos),
+                                   line_n.dtype))
+        out = jnp.concatenate(parts, axis=1)
+        if vals is not None and not use_contig:
+            out = out.at[:, self.slow_dst].set(vals)
         return out
