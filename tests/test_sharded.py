@@ -188,3 +188,36 @@ def test_sharded_gradient_O320_nlev137_matches_serial():
     scale = float(np.abs(grad_serial).max())
     err = float(np.abs(out - grad_serial[: grid.size]).max()) / scale
     assert err < 1e-6, err
+
+
+def test_sharded_structured_gradient_bit_identical():
+    """Band-sharded shift-structured Pallas gradient == serial Pallas
+    gradient BIT-FOR-BIT (the distributed path runs the identical hot
+    kernel per band + an 8-row window recompute at band edges; reference
+    Nabla.cc:96-188 runs the same loop serial and distributed)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atlas_tpu import Grid
+    from atlas_tpu.parallel import ShardedStructuredFvm
+
+    g = Grid("O32")
+    sh = ShardedStructuredFvm(g, 4, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    nlev = 3
+    f = rng.normal(size=(g.size, nlev)).astype(np.float32)
+
+    pg = sh.serial
+    s = sh.sfvm.shifts
+    fl = np.zeros((nlev, s.ny, s.nxw), np.float32)
+    fl[:, s.row_of_point, s.col_of_point] = f.T
+    ft = pg.tile(sh.sfvm.fill_halo(jnp.asarray(fl)))
+    gxs, gys = pg(ft)
+    ref_x = np.asarray(pg.untile(gxs, nlev))[
+        :, s.row_of_point, s.col_of_point].T
+    ref_y = np.asarray(pg.untile(gys, nlev))[
+        :, s.row_of_point, s.col_of_point].T
+
+    out = sh.gather_grad(sh.gradient(sh.scatter_field(f)))
+    np.testing.assert_array_equal(out[:, :, 0], ref_x)
+    np.testing.assert_array_equal(out[:, :, 1], ref_y)
