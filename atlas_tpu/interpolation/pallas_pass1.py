@@ -1,34 +1,28 @@
 """Pallas pass-1 kernel for the separable structured interpolation.
 
-The XLA windowed pass 1 costs ~11 ms of the 18 ms O320 -> 0.25 deg bicubic
-iteration: ~5 ms building the periodic padded row layout with an
-(ny*nxw)-row gather and ~6 ms in vmapped window slices feeding the MXU.
+The XLA windowed pass 1 costs ~12.4 ms of the 18.7 ms O320 -> 0.25 deg
+bicubic iteration: ~5 ms building the periodic padded row layout with an
+(ny*nxw)-row gather and ~7 ms in vmapped window slices + HIGHEST dots.
 This kernel streams each SOURCE ROW through VMEM once:
 
-  per source row j (one grid program):
+  per source row j (R rows per grid program):
     1. DMA the row's contiguous slice of the (nch, npts) transposed field
-       (128-aligned start; the misalignment d is folded into a lane roll);
-    2. build the periodic padded row IN VMEM: two masked lane rolls add the
-       left halo and the single east wrap (kernel rows have nx >= the
-       wrap span, so one period suffices — short polar rows stay on the
-       XLA path and are merged afterwards, <10% of the points);
-    3. per 128-target block: window = fpad[:, st_b : st_b + W2] (aligned
-       dynamic slice) contracted against the banded weight block on the
-       MXU; results land directly in the (1, nxt_pad, nch) output block.
+       (128-aligned start; the misalignment d folds into the placement
+       roll);
+    2. build the periodic padded row IN VMEM by PERIOD DOUBLING: place the
+       base copy at [p0, p0+nx) with p0 = Lh mod nx, then D static steps of
+       row += masked(roll(row, 2^k nx)) double the covered span, plus one
+       west step — ceil(log2(NN/nx)) + 2 masked rolls cover ANY nx (the
+       round-4 version wrapped once and excluded all rows with
+       2 nx < nxw - Lh: half the pass-1 cost stayed on the gather path);
+    3. per 128-target block: win = fpad[:, st_b : st_b + W2] contracted
+       against the banded weight block with TWO single-pass bf16 dots
+       (weights pre-split hi/lo and stacked on the M axis; values split
+       in-kernel) instead of one 6-pass HIGHEST dot — exact to ~2^-18.
 
-Pass 2 (the k-row y-combine) stays in XLA. Reference behavior:
+Pass 2 (the k-row y-combine) runs as a banded GEMM in XLA. Reference:
 interpolation/method/structured/StructuredInterpolation2D.tcc:239-378 —
 the same two-pass factorization, re-scheduled for VMEM/MXU.
-
-STATUS (measured, v5e): NOT the production path. At O320 -> 0.25 deg with
-64 channels the kernel covers only the single-wrap rows (324 of 640; pass-1
-work scales with ny * nxt, so the excluded rows keep half the cost on the
-gather path) and per-program overhead across 324 sequential row programs
-adds ~20 ms — 38.5 ms total vs the XLA windowed path's 18 ms. It becomes
-interesting only with multi-wrap row periodization plus several rows per
-program; until then `interpolation/structured.py` keeps the XLA path and
-this module documents the measured trade (kept correct by an
-interpret-mode test).
 """
 
 from __future__ import annotations
@@ -45,69 +39,94 @@ from jax.experimental.pallas import tpu as pltpu
 B = 128  # targets per window block
 
 
-def build_pass1_kernel(nch, NN, W2, NB, Lh, NXS):
+def build_pass1_kernel(nch, NN, W2, NB, Lh, NXS, R, D, nxt_pad):
     def kernel(meta_ref, fT_any, Wt_ref, out_ref, buf, fpad, sem):
-        r = pl.program_id(0)
-        nx = meta_ref[r, 0]
-        off_al = meta_ref[r, 1] * 128
-        d = meta_ref[r, 2]  # off - off_al in [0, 128)
-        nxt_n = meta_ref[r, 3]  # active targets for this row (= nxt)
-
-        copy = pltpu.make_async_copy(
-            fT_any.at[:, pl.ds(off_al, NXS)], buf, sem)
-        copy.start()
-        copy.wait()
-
-        # periodic padded row: place at column Lh, add left halo and the
-        # single east wrap with masked circular rolls (wrapped-in lanes are
-        # killed by the region masks)
+        p = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (nch, NN), 1)
-        P0 = jnp.pad(buf[:, :], ((0, 0), (0, NN - NXS)))
-        r0 = pltpu.roll(P0, (NN + Lh - d) % NN, axis=1)
-        r0 = jnp.where((lane >= Lh) & (lane < Lh + nx), r0, 0.0)
-        east = pltpu.roll(r0, nx % NN, axis=1)
-        west = pltpu.roll(r0, (NN - nx) % NN, axis=1)
-        row = (r0 + jnp.where(lane < Lh, west, 0.0)
-               + jnp.where(lane >= Lh + nx, east, 0.0))
-        fpad[:, :] = row
 
-        for b in range(NB):
+        # issue all R row DMAs up front (they pipeline behind compute)
+        for rl in range(R):
+            r = p * R + rl
+            pltpu.make_async_copy(
+                fT_any.at[:, pl.ds(meta_ref[r, 1] * 128, NXS)],
+                buf.at[rl], sem.at[rl]).start()
 
-            @pl.when(b * B < nxt_n)
-            def _(b=b):
-                st = meta_ref[r, 4 + b] * 128
-                win = fpad[:, pl.ds(st, W2)]  # (nch, W2)
-                out_ref[0, b * B:(b + 1) * B, :] = jax.lax.dot_general(
-                    Wt_ref[0, b], win, (((1,), (1,)), ((), ())),
-                    preferred_element_type=win.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+        for rl in range(R):
+            r = p * R + rl
+            nx = meta_ref[r, 0]
+            d = meta_ref[r, 2]  # off - off_al in [0, 128)
+            nxt_n = meta_ref[r, 3]  # active targets for this row
+
+            pltpu.make_async_copy(
+                fT_any.at[:, pl.ds(meta_ref[r, 1] * 128, NXS)],
+                buf.at[rl], sem.at[rl]).wait()
+
+            # periodic padded row by period doubling: base copy at
+            # [p0, p0 + nx), p0 = Lh mod nx, then doubling + one west step
+            p0 = jax.lax.rem(jnp.int32(Lh), nx)
+            P0 = jnp.pad(buf[rl], ((0, 0), (0, NN - NXS)))
+            row = pltpu.roll(P0, (NN + p0 - d) % NN, axis=1)
+            row = jnp.where((lane >= p0) & (lane < p0 + nx), row, 0.0)
+            span = nx
+            for _ in range(D):
+                shifted = pltpu.roll(row, span % NN, axis=1)
+                row = row + jnp.where(lane >= p0 + span, shifted, 0.0)
+                span = span * 2
+            row = row + jnp.where(lane < p0,
+                                  pltpu.roll(row, (NN - nx) % NN, axis=1),
+                                  0.0)
+            fpad[:, :] = row
+
+            for b in range(NB):
+
+                @pl.when(b * B < nxt_n)
+                def _(b=b, r=r, rl=rl):
+                    st = meta_ref[r, 4 + b] * 128
+                    win = fpad[:, pl.ds(st, W2)]  # (nch, W2)
+                    # two single-pass bf16 dots, each with [Whi; Wlo]
+                    # stacked on M: all four hi/lo cross products land (the
+                    # Wlo*vlo term matters at the 1e-5 gate) at 2 MXU
+                    # passes instead of HIGHEST's 6
+                    vhi = win.astype(jnp.bfloat16)
+                    vlo = (win - vhi.astype(win.dtype)).astype(jnp.bfloat16)
+                    Whl = Wt_ref[rl, b]  # (2B, W2) bf16 [hi; lo]
+                    d1 = jax.lax.dot_general(
+                        Whl, vhi, (((1,), (1,)), ((), ())),
+                        preferred_element_type=win.dtype)
+                    d2 = jax.lax.dot_general(
+                        Whl, vlo, (((1,), (1,)), ((), ())),
+                        preferred_element_type=win.dtype)
+                    out_ref[rl, b * B:(b + 1) * B, :] = \
+                        d1[:B] + (d1[B:] + (d2[:B] + d2[B:]))
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("nch", "NN", "W2", "NB", "Lh", "NXS",
-                                   "nxt_pad", "interpret"))
-def pass1_rows(meta, fT, Wt2, nch, NN, W2, NB, Lh, NXS, nxt_pad,
+                                   "nxt_pad", "R", "D", "interpret"))
+def pass1_rows(meta, fT, Wt2, nch, NN, W2, NB, Lh, NXS, nxt_pad, R, D,
                interpret=False):
     """meta: (nrows, 4 + NB) int32 [nx, off/128, d, nxt, st_b/128...];
-    fT: (nch, npts_pad); Wt2: (nrows, NB, B, W2).
-    Returns (nrows, nxt_pad, nch) row-resampled values."""
+    fT: (nch, npts_pad); Wt2: (nrows, NB, 2B, W2) bf16 [hi; lo] stacked.
+    nrows must be a multiple of R. Returns (nrows, nxt_pad, nch)."""
     nrows = meta.shape[0]
-    kernel = build_pass1_kernel(nch, NN, W2, NB, Lh, NXS)
+    assert nrows % R == 0
+    kernel = build_pass1_kernel(nch, NN, W2, NB, Lh, NXS, R, D, nxt_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrows,),
+        grid=(nrows // R,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, NB, B, W2), lambda r, meta: (r, 0, 0, 0),
+            pl.BlockSpec((R, NB, 2 * B, W2), lambda r, meta: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nxt_pad, nch), lambda r, meta: (r, 0, 0),
+        out_specs=pl.BlockSpec((R, nxt_pad, nch),
+                               lambda r, meta: (r, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nch, NXS), fT.dtype),
+            pltpu.VMEM((R, nch, NXS), fT.dtype),
             pltpu.VMEM((nch, NN), fT.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((R,)),
         ],
     )
     return pl.pallas_call(
@@ -116,7 +135,7 @@ def pass1_rows(meta, fT, Wt2, nch, NN, W2, NB, Lh, NXS, nxt_pad,
         out_shape=jax.ShapeDtypeStruct((nrows, nxt_pad, nch), fT.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=int(100 * 2**20)),
+            vmem_limit_bytes=int(110 * 2**20)),
         interpret=interpret,
     )(meta, fT, Wt2)
 
@@ -125,6 +144,8 @@ class Pass1Kernel:
     """Setup of the Pallas pass-1 over a _Separable product.
 
     nch is static (one instance per channel count)."""
+
+    ROWS_PER_PROGRAM = 8
 
     def __init__(self, interp, nch):
         s = interp._sep
@@ -148,10 +169,9 @@ class Pass1Kernel:
         # per-block 128-aligned window starts, clamped into the padded row
         st_al = np.minimum((s.win_start // 128) * 128, NN - W2)
         st_al = np.maximum(st_al, 0)
-        # a row runs in the kernel iff ONE east wrap copy reaches the end
-        # of the padded width (coverage [Lh, Lh + 2 nx) >= nxw) AND every
-        # tap offset lands inside its aligned W2 window
-        ok = 2 * nx >= (s.nxw - Lh)
+        # a row runs in the kernel iff every tap offset lands inside its
+        # aligned W2 window (period doubling covers any nx)
+        ok = np.ones(ny, bool)
         for b in range(NB):
             t0, t1 = b * B, min((b + 1) * B, nxt)
             o = s.idx1[:, t0:t1] - st_al[:, b][:, None, None]
@@ -161,24 +181,39 @@ class Pass1Kernel:
 
         kr = self.kernel_rows
         nrows = len(kr)
-        meta = np.zeros((nrows, 4 + NB), np.int64)
-        meta[:, 0] = nx[kr]
-        meta[:, 1] = offs[kr] // 128
-        meta[:, 2] = offs[kr] - (offs[kr] // 128) * 128
-        meta[:, 3] = nxt
-        meta[:, 4:] = st_al[kr] // 128
-        # banded weights rebuilt against the aligned starts (W2 covers the
-        # alignment shift)
-        Wt2 = np.zeros((nrows, NB, B, W2))
+        # doubling steps to span NN from the smallest kernel row
+        nx_min = max(int(nx[kr].min()) if nrows else 1, 1)
+        self.D = int(np.ceil(np.log2(max(NN / nx_min, 1.0)))) if nrows else 0
+        R = self.ROWS_PER_PROGRAM
+        self.nrows_pad = -(-nrows // R) * R if nrows else 0
+        meta = np.zeros((self.nrows_pad, 4 + NB), np.int64)
+        # padding rows replay the last real row (their outputs are unused)
+        meta[:, 0] = 1
+        for i, j in enumerate(kr):
+            meta[i, 0] = nx[j]
+            meta[i, 1] = offs[j] // 128
+            meta[i, 2] = offs[j] - (offs[j] // 128) * 128
+            meta[i, 3] = nxt
+            meta[i, 4:] = st_al[j] // 128
+        for i in range(nrows, self.nrows_pad):
+            meta[i] = meta[max(nrows - 1, 0)]
+            meta[i, 3] = 0  # no active targets: dots skipped
+        # banded weights rebuilt against the aligned starts, PRE-SPLIT into
+        # stacked [hi; lo] bf16 (the kernel's two single-pass dots)
+        Wt2 = np.zeros((self.nrows_pad, NB, B, W2), np.float32)
         for i, j in enumerate(kr):
             for b in range(NB):
                 t0, t1 = b * B, min((b + 1) * B, nxt)
                 o = s.idx1[j, t0:t1] - int(st_al[j, b])  # (B', k)
                 ii = np.broadcast_to(np.arange(t1 - t0)[:, None], o.shape)
                 np.add.at(Wt2[i, b], (ii, o), s.wx[j, t0:t1])
+        import ml_dtypes
+
+        Whi = Wt2.astype(ml_dtypes.bfloat16)
+        Wlo = (Wt2 - Whi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        self._Wt2 = np.concatenate([Whi, Wlo], axis=2)  # (nr, NB, 2B, W2)
         self.meta = jnp.asarray(meta.astype(np.int32))
-        self._Wt2 = Wt2
-        self._dev = {}
+        self._dev = None
 
     @staticmethod
     def _infer_L(s, grid):
@@ -188,28 +223,34 @@ class Pass1Kernel:
         # column where the un-wrapped index 0 appears first
         return int(np.flatnonzero(row0 == 0)[0])
 
-    def tables(self, dtype):
-        key = jnp.dtype(dtype).name
-        if key not in self._dev:
-            self._dev[key] = (self.meta, jnp.asarray(self._Wt2, dtype))
-        return self._dev[key]
+    def tables(self, dtype=None):
+        if self._dev is None:
+            self._dev = (self.meta, jnp.asarray(self._Wt2))
+        return self._dev
 
     def apply(self, field, t, tabs=None, interpret=False):
         """field (npts, nch) + interp._sep_tables -> (ny, nxt, nch) tmp.
 
-        tabs: pass self.tables(dtype) explicitly when calling under an outer
-        jit (closure-captured device tables get embedded as HLO constants —
-        the banded weights are ~750 MB at O320 -> 0.25 deg)."""
+        tabs: pass self.tables() explicitly when calling under an outer
+        jit (closure-captured device tables get embedded as HLO
+        constants)."""
         s = self.s
-        tmp = jnp.zeros((s.ny, self.nxt, self.nch), field.dtype)
+        full = len(self.kernel_rows) == s.ny
+        tmp_k = None
         if len(self.kernel_rows):
-            meta, Wt2 = self.tables(field.dtype) if tabs is None else tabs
+            meta, Wt2 = self.tables() if tabs is None else tabs
             npts = field.shape[0]
             npad = -(-npts // 128) * 128 + self.NXS
             fT = jnp.pad(field.T, ((0, 0), (0, npad - npts)))
             tmp_k = pass1_rows(meta, fT, Wt2, self.nch, self.NN, self.W2,
                                self.NB, self.Lh, self.NXS, self.nxt_pad,
-                               interpret=interpret)[:, : self.nxt]
+                               self.ROWS_PER_PROGRAM, self.D,
+                               interpret=interpret)[
+                : len(self.kernel_rows), : self.nxt]
+        if full:
+            return tmp_k  # every row in kernel order: no scatter pass
+        tmp = jnp.zeros((s.ny, self.nxt, self.nch), field.dtype)
+        if tmp_k is not None:
             tmp = tmp.at[jnp.asarray(self.kernel_rows)].set(tmp_k)
         if len(self.small_rows):
             sr = jnp.asarray(self.small_rows)

