@@ -24,7 +24,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LI = 8  # level-tile (f32 sublanes)
+import os as _os
+
+# level-tile rows (f32 sublane groups); env override for tuning sweeps
+LI = int(_os.environ.get("ATLAS_TPU_LI", "8"))
 TJ = 8  # row-tile
 
 

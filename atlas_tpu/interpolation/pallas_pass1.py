@@ -181,38 +181,62 @@ class Pass1Kernel:
 
         kr = self.kernel_rows
         nrows = len(kr)
-        # doubling steps to span NN from the smallest kernel row
-        nx_min = max(int(nx[kr].min()) if nrows else 1, 1)
-        self.D = int(np.ceil(np.log2(max(NN / nx_min, 1.0)))) if nrows else 0
         R = self.ROWS_PER_PROGRAM
-        self.nrows_pad = -(-nrows // R) * R if nrows else 0
-        meta = np.zeros((self.nrows_pad, 4 + NB), np.int64)
-        # padding rows replay the last real row (their outputs are unused)
-        meta[:, 0] = 1
-        for i, j in enumerate(kr):
-            meta[i, 0] = nx[j]
-            meta[i, 1] = offs[j] // 128
-            meta[i, 2] = offs[j] - (offs[j] // 128) * 128
-            meta[i, 3] = nxt
-            meta[i, 4:] = st_al[j] // 128
-        for i in range(nrows, self.nrows_pad):
-            meta[i] = meta[max(nrows - 1, 0)]
-            meta[i, 3] = 0  # no active targets: dots skipped
-        # banded weights rebuilt against the aligned starts, PRE-SPLIT into
-        # stacked [hi; lo] bf16 (the kernel's two single-pass dots)
-        Wt2 = np.zeros((self.nrows_pad, NB, B, W2), np.float32)
-        for i, j in enumerate(kr):
-            for b in range(NB):
-                t0, t1 = b * B, min((b + 1) * B, nxt)
-                o = s.idx1[j, t0:t1] - int(st_al[j, b])  # (B', k)
-                ii = np.broadcast_to(np.arange(t1 - t0)[:, None], o.shape)
-                np.add.at(Wt2[i, b], (ii, o), s.wx[j, t0:t1])
+
+        def need_D(n):
+            return int(np.ceil(np.log2(max(NN / max(int(n), 1), 1.0))))
+
+        # ONE band at the maximum doubling depth: splitting rows into
+        # per-depth bands was measured SLOWER (extra pallas-call overhead
+        # 12.0 -> 12.7 ms at O320 -> 0.25 deg; the dynamic rolls the split
+        # saves are cheaper than a dispatch) — kept as a band list for the
+        # non-contiguous kernel_rows case
+        D_max = max((need_D(nx[j]) for j in kr), default=0)
+
+        def row_D(n):
+            return D_max
+
+        self.bands = []
+        i0 = 0
+        while i0 < nrows:
+            D0 = row_D(nx[kr[i0]])
+            i1 = i0 + 1
+            while (i1 < nrows and row_D(nx[kr[i1]]) == D0
+                   and kr[i1] == kr[i1 - 1] + 1):
+                i1 += 1
+            self.bands.append((i0, i1, D0))
+            i0 = i1
+
         import ml_dtypes
 
-        Whi = Wt2.astype(ml_dtypes.bfloat16)
-        Wlo = (Wt2 - Whi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-        self._Wt2 = np.concatenate([Whi, Wlo], axis=2)  # (nr, NB, 2B, W2)
-        self.meta = jnp.asarray(meta.astype(np.int32))
+        self._band_tabs = []
+        for (i0, i1, D0) in self.bands:
+            rows_b = kr[i0:i1]
+            nb_rows = len(rows_b)
+            npad_b = -(-nb_rows // R) * R
+            meta = np.zeros((npad_b, 4 + NB), np.int64)
+            meta[:, 0] = 1
+            Wt2 = np.zeros((npad_b, NB, B, W2), np.float32)
+            for i, j in enumerate(rows_b):
+                meta[i, 0] = nx[j]
+                meta[i, 1] = offs[j] // 128
+                meta[i, 2] = offs[j] - (offs[j] // 128) * 128
+                meta[i, 3] = nxt
+                meta[i, 4:] = st_al[j] // 128
+                for b in range(NB):
+                    t0, t1 = b * B, min((b + 1) * B, nxt)
+                    o = s.idx1[j, t0:t1] - int(st_al[j, b])  # (B', k)
+                    ii = np.broadcast_to(np.arange(t1 - t0)[:, None],
+                                         o.shape)
+                    np.add.at(Wt2[i, b], (ii, o), s.wx[j, t0:t1])
+            for i in range(nb_rows, npad_b):
+                meta[i] = meta[max(nb_rows - 1, 0)]
+                meta[i, 3] = 0  # no active targets: dots skipped
+            Whi = Wt2.astype(ml_dtypes.bfloat16)
+            Wlo = (Wt2 - Whi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            self._band_tabs.append(
+                (meta.astype(np.int32), np.concatenate([Whi, Wlo], axis=2),
+                 nb_rows, D0))
         self._dev = None
 
     @staticmethod
@@ -225,7 +249,9 @@ class Pass1Kernel:
 
     def tables(self, dtype=None):
         if self._dev is None:
-            self._dev = (self.meta, jnp.asarray(self._Wt2))
+            self._dev = tuple(
+                (jnp.asarray(m), jnp.asarray(w))
+                for (m, w, _, _) in self._band_tabs)
         return self._dev
 
     def apply(self, field, t, tabs=None, interpret=False):
@@ -238,15 +264,21 @@ class Pass1Kernel:
         full = len(self.kernel_rows) == s.ny
         tmp_k = None
         if len(self.kernel_rows):
-            meta, Wt2 = self.tables() if tabs is None else tabs
+            band_dev = self.tables() if tabs is None else tabs
             npts = field.shape[0]
             npad = -(-npts // 128) * 128 + self.NXS
             fT = jnp.pad(field.T, ((0, 0), (0, npad - npts)))
-            tmp_k = pass1_rows(meta, fT, Wt2, self.nch, self.NN, self.W2,
-                               self.NB, self.Lh, self.NXS, self.nxt_pad,
-                               self.ROWS_PER_PROGRAM, self.D,
-                               interpret=interpret)[
-                : len(self.kernel_rows), : self.nxt]
+            pieces = []
+            for (meta, Wt2), (_, _, nb_rows, D0) in zip(band_dev,
+                                                        self._band_tabs):
+                out_b = pass1_rows(
+                    meta, fT, Wt2, self.nch, self.NN, self.W2,
+                    self.NB, self.Lh, self.NXS, self.nxt_pad,
+                    self.ROWS_PER_PROGRAM, D0,
+                    interpret=interpret)[:nb_rows]
+                pieces.append(out_b)
+            tmp_k = (pieces[0] if len(pieces) == 1
+                     else jnp.concatenate(pieces, axis=0))[:, : self.nxt]
         if full:
             return tmp_k  # every row in kernel order: no scatter pass
         tmp = jnp.zeros((s.ny, self.nxt, self.nch), field.dtype)

@@ -113,7 +113,7 @@ class WindowedELL:
     to the gather path; `self.fast_fraction` records the split.
     """
 
-    def __init__(self, idx, w, nsrc, block: int = 128, max_W: int = 2048,
+    def __init__(self, idx, w, nsrc, block: int = 128, max_W: int = 8192,
                  max_bytes: float = 800e6, src_order=None):
         """src_order: optional source permutation applied at setup (e.g. a
         latitude-lexicographic or Hilbert sort, mesh/actions.py reorders) —

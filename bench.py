@@ -128,14 +128,13 @@ def bench_bicubic(args):
 
         impl = "pallas-pass1 + gemm-pass2"
         pk = interp.pass1_kernel(nlev)
-        meta_k, Wt2_k = pk.tables()
         A2 = interp._pass2_matrix(dtype)
-        ops = (meta_k, Wt2_k, A2, t["pad_gather"], t["idx1"], t["wx"])
+        ops = (pk.tables(), A2, t["pad_gather"], t["idx1"], t["wx"])
 
         def apply_fn(f, tabs):
-            meta_k, Wt2_k, A2, pg, idx1, wx = tabs
+            ptabs, A2, pg, idx1, wx = tabs
             tmp = pk.apply(f, {"pad_gather": pg, "idx1": idx1, "wx": wx},
-                           tabs=(meta_k, Wt2_k))
+                           tabs=ptabs)
             return _pass2_gemm(tmp, A2)
     elif s.Wt is not None:
         impl = "windowed-mxu"
