@@ -28,7 +28,7 @@ import os as _os
 
 # level-tile rows (f32 sublane groups); env override for tuning sweeps
 LI = int(_os.environ.get("ATLAS_TPU_LI", "8"))
-TJ = 8  # row-tile
+TJ = int(_os.environ.get("ATLAS_TPU_TJ", "8"))  # row-tile
 
 
 def _cshift(a, dc):
