@@ -307,8 +307,8 @@ def test_fourstep_uniform_matches_gemm():
 
 def test_fourstep_resample_reduced_matches_gemm():
     # reduced grid: uniform four-step synthesis + Kaiser-Bessel shift
-    # resample == per-row-group GEMM (within the NUFFT kernel error ~1e-7
-    # relative, far below the f32 transform tolerance)
+    # resample == per-row-group GEMM (within the W=10 NUFFT kernel error
+    # ~7e-7 relative, far below the f32 transform tolerance)
     grid = Grid("O16")
     T = 15
     tr_g = TransLocal(grid, T, dtype=np.float64, fourier="gemm")
@@ -321,7 +321,7 @@ def test_fourstep_resample_reduced_matches_gemm():
     a = np.asarray(tr_g.invtrans(spec))
     b = np.asarray(tr_f.invtrans(spec))
     scale = np.abs(a).max()
-    assert np.abs(b - a).max() / scale < 2e-7
+    assert np.abs(b - a).max() / scale < 3e-6
 
 
 def test_fourstep_shifted_rows_phase():
@@ -342,7 +342,7 @@ def test_fourstep_shifted_rows_phase():
     a = np.asarray(tr_g.invtrans(spec))
     b = np.asarray(tr_f.invtrans(spec))
     scale = np.abs(a).max()
-    assert np.abs(b - a).max() / scale < 2e-7
+    assert np.abs(b - a).max() / scale < 3e-6
 
 
 def test_resample_compact_kernel_matches_gemm():
