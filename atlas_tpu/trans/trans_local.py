@@ -91,6 +91,7 @@ class _BucketedLegendre:
                     np.ascontiguousarray(
                         np.transpose(tab, (1, 0, 2))).astype(npdt),
                     mask.astype(npdt),
+                    gidx.astype(np.int32),
                 )
                 per_parity.append(host)
                 padded += (m1 - m0) * sb
@@ -127,7 +128,7 @@ class _BucketedLegendre:
         tables = []
         for i in range(len(obj.bounds)):
             tab = []
-            for j in range(5):
+            for j in range(7):
                 # arrays were saved in their final device dtypes
                 tab.append(jnp.asarray(arrs[f"b{i}_{j}"]))
             tables.append(tuple(tab))
@@ -136,43 +137,50 @@ class _BucketedLegendre:
 
     def apply(self, rhs, precision="highest"):
         """rhs: (ncoef, q) packed coefficients -> (S, A) each (t+1, half, q)."""
+        t = self.bounds[-1][1] - 1
         return _bucketed_leg_apply(self.tables, rhs, precision,
-                                   self.sym_parity)
+                                   self.sym_parity,
+                                   "slice" if t >= 1000 else "gather")
 
 
-@partial(jax.jit, static_argnames=("precision", "sym_parity"))
-def _bucketed_leg_apply(tables, rhs, precision, sym_parity=0):
+@partial(jax.jit, static_argnames=("precision", "sym_parity", "fetch"))
+def _bucketed_leg_apply(tables, rhs, precision, sym_parity=0,
+                        fetch="gather"):
     """Bucketed parity-split Legendre synthesis.
 
-    Operand fetch exploits the m-major packed layout: each bucket's
-    coefficients live in ONE contiguous run per m (both parities
-    interleaved), so a vmapped dynamic_slice (mb block DMAs) replaces the
-    per-slot row gather, and the parity de-interleave is a strided slice of
-    the staged block (14.5 ms -> 7.9 ms for the T1279 operand fetch on
-    v5e)."""
+    Operand fetch, measured on v5e:
+      'gather' — per-slot row gather rhs[gidx]; fastest at small/medium T
+                 (T639/q128: 1.5 ms vs 8 ms sliced).
+      'slice'  — the m-major packed layout keeps each bucket's coefficients
+                 in ONE contiguous run per m, so a vmapped dynamic_slice
+                 (mb block DMAs) + strided parity extract replaces the
+                 gather; faster at T1279 (14.5 -> 9 ms).
+    Neither path masks the operand: the tables carry zeros at every invalid
+    slot, so garbage rows contribute exactly 0 through the dot."""
     prec = _PRECISIONS[precision]
     q = rhs.shape[1]
-    # the last bucket's fixed-size slices overread past the final m's coefs
-    pad = 2 * max(max(t[1].shape[1], t[3].shape[1]) for t in tables)
-    rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
     S_parts, A_parts = [], []
-    for (Ps, mks, Pa, mka, starts) in tables:
-        sb_s, sb_a = mks.shape[1], mka.shape[1]
-        sbmax = max(sb_s, sb_a)
-        sl = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(
-                rhs, (s, jnp.zeros((), s.dtype)), (2 * sbmax, q)))(
-            starts)  # (mb, 2 sbmax, q): contiguous coef runs
-        sl = sl.reshape(sl.shape[0], sbmax, 2, q)  # [., slot, (n-m)%2, .]
-        # no operand masking: the tables already carry zeros at every
-        # invalid slot (tab = V * mask at build time), so the overread
-        # coefficients contribute exactly 0 through the dot — the explicit
-        # mask multiply only added ~1 GB of traffic per parity
-        rs = sl[:, :sb_s, sym_parity, :]  # (mb, sb, q)
+    if fetch == "slice":
+        # the last bucket's fixed slices overread past the final m's coefs
+        pad = 2 * max(max(t[1].shape[1], t[4].shape[1]) for t in tables)
+        rhs_p = jnp.pad(rhs, ((0, pad), (0, 0)))
+    for (Ps, mks, gs, Pa, mka, ga, starts) in tables:
+        if fetch == "slice":
+            sb_s, sb_a = mks.shape[1], mka.shape[1]
+            sbmax = max(sb_s, sb_a)
+            sl = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    rhs_p, (s, jnp.zeros((), s.dtype)), (2 * sbmax, q)))(
+                starts)  # (mb, 2 sbmax, q): contiguous coef runs
+            sl = sl.reshape(sl.shape[0], sbmax, 2, q)
+            rs = sl[:, :sb_s, sym_parity, :]  # (mb, sb, q)
+            ra = sl[:, :sb_a, 1 - sym_parity, :]
+        else:
+            rs = rhs[gs]
+            ra = rhs[ga]
         S_parts.append(
             jnp.einsum("mxs,msq->mxq", Ps, rs, precision=prec,
                        preferred_element_type=Ps.dtype))
-        ra = sl[:, :sb_a, 1 - sym_parity, :]
         A_parts.append(
             jnp.einsum("mxs,msq->mxq", Pa, ra, precision=prec,
                        preferred_element_type=Pa.dtype))
@@ -231,8 +239,8 @@ class TransLocal:
 
             cpath = cache_path("legendre", f"T{t}-{grid.uid()[:12]}")
             cached = load_legendre(cpath)
-            # packed2: contiguous-slice operand format (starts, no gidx)
-            pdir = cpath + f".packed2-{self.dtype.name}"
+            # packed3: dual-fetch operand format (gidx + starts)
+            pdir = cpath + f".packed3-{self.dtype.name}"
             packed = load_packed(pdir)
         if cached is not None:
             P = cached  # mmap'd: pages fault in only where read

@@ -278,6 +278,7 @@ def bench_trans(args):
     half = tr.nlat_half
     nf2 = nf * 2
     leg_tabs = tr.legendre.tables
+    leg_fetch = "slice" if T >= 1000 else "gather"
     im_mask = tr._im_mask
     prec = args.precision
     fs = tr.fourier
@@ -334,7 +335,7 @@ def bench_trans(args):
             def chain(sp, tabs, imm, *fops):
                 def body(_, sp):
                     rhs = _pack_rhs(sp, imm)
-                    S, A = _bucketed_leg_apply(tabs, rhs, prec)
+                    S, A = _bucketed_leg_apply(tabs, rhs, prec, 0, leg_fetch)
                     gp = four_apply(S, A, *fops)
                     return sp + gp.mean() * jnp.asarray(1e-30, dtype)
 
@@ -354,7 +355,7 @@ def bench_trans(args):
             @jax.jit
             def chain(rhs, tabs):
                 def body(_, rhs):
-                    S, A = _bucketed_leg_apply(tabs, rhs, prec)
+                    S, A = _bucketed_leg_apply(tabs, rhs, prec, 0, leg_fetch)
                     return rhs + (S.mean() + A.mean()) * jnp.asarray(1e-30, dtype)
 
                 return jnp.sum(jax.lax.fori_loop(0, k, body, rhs))
@@ -383,7 +384,7 @@ def bench_trans(args):
     t_pack, _ = _fori_pair(make_pack, sp, im_mask)
 
     # ---- Fourier-only chain (S, A held fixed) ------------------------------
-    S0, A0 = _bucketed_leg_apply(leg_tabs, rhs0, prec)
+    S0, A0 = _bucketed_leg_apply(leg_tabs, rhs0, prec, 0, leg_fetch)
 
     def make_fou():
         def make(k):
