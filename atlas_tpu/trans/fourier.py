@@ -177,7 +177,7 @@ class FourierSynthesis:
     # the f32 transform gate (2e-4) — and drops two of twelve resample
     # rolls + 1/6 of the weight-plane bytes (W=12 was ~1e-7, overkill)
     W_TAPS = 10
-    _CACHE_VERSION = 3  # v3: hemisphere-split segment plan (rev flags)
+    _CACHE_VERSION = 4  # v4: batch-aligned band boundaries
 
     def __init__(self, grid, truncation, dtype, x0, mode="auto",
                  use_cache=False):

@@ -256,25 +256,55 @@ class SegmentPlan:
         slow_rows = []
         # split at the hemisphere boundary (the synthesis arrives as a
         # (line_north, line_south) pair, the south half in latitude order —
-        # never flipped/concatenated), then split each part into a bulk
-        # chunk with ROWS_PER_PROGRAM rows per kernel program (amortizes
-        # per-program pipeline overhead) plus a remainder chunk
+        # never flipped/concatenated), then ALIGN band boundaries to the
+        # ROWS_PER_PROGRAM batch by letting the WIDER-window neighbor absorb
+        # the surplus rows (always safe: a wider selection window still
+        # satisfies every narrower row's tap constraint). Only the
+        # equator-most band of each hemisphere keeps a remainder chunk —
+        # ~12 pallas calls instead of 20 at O1280.
         self.half = half = (ny + 1) // 2
         RB = self.ROWS_PER_PROGRAM
-        split = []
+        hemi_segs = []
         for (r0, r1, bi) in segs:
+            if bi < 0 or r1 <= half or r0 >= half:
+                hemi_segs.append([r0, r1, bi])
+            else:
+                hemi_segs.append([r0, half, bi])
+                hemi_segs.append([half, r1, bi])
+
+        def wsel_of(bi):
+            w = self.LADDER[bi][1]
+            return L if w is None else w
+
+        for i in range(len(hemi_segs) - 1):
+            a, b = hemi_segs[i], hemi_segs[i + 1]
+            if a[2] < 0 or b[2] < 0 or a[1] != b[0] or a[1] == half:
+                continue
+            rem = (a[1] - a[0]) % RB
+            if rem == 0:
+                continue
+            if wsel_of(a[2]) >= wsel_of(b[2]):
+                take = min(RB - rem, b[1] - b[0] - 1)
+                a[1] += take
+                b[0] += take
+            else:
+                if a[1] - a[0] > rem:
+                    a[1] -= rem
+                    b[0] -= rem
+
+        split = []
+        for (r0, r1, bi) in hemi_segs:
+            if r1 <= r0:
+                continue
             if bi < 0:
                 split.append((r0, r1, bi, 1))
                 continue
-            parts = ([(r0, r1)] if r1 <= half or r0 >= half
-                     else [(r0, half), (half, r1)])
-            for (q0, q1) in parts:
-                n = q1 - q0
-                bulk = (n // RB) * RB
-                if bulk:
-                    split.append((q0, q0 + bulk, bi, RB))
-                if n - bulk:
-                    split.append((q0 + bulk, q1, bi, n - bulk))
+            n = r1 - r0
+            bulk = (n // RB) * RB
+            if bulk:
+                split.append((r0, r0 + bulk, bi, RB))
+            if n - bulk:
+                split.append((r0 + bulk, r1, bi, n - bulk))
 
         for (r0, r1, bi, Rp) in split:
             if bi < 0:
