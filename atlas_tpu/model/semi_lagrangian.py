@@ -103,18 +103,19 @@ class SemiLagrangianAdvection:
         return self.select_step(u, v, dt)(q, u, v, dt)
 
     def select_step(self, u, v, dt):
-        """Resolve the impl for this (wind, dt) pair: the shift path when
-        its CFL contract holds, the gather path otherwise. The guard needs
-        concrete wind values — call this OUTSIDE jit and trace the returned
-        callable (under tracing, 'auto' conservatively picks gather)."""
-        if self._fast is not None:
-            if self.impl == "shift":
-                return self._fast.step
-            try:
-                if self.cfl(u, v, dt) <= self.max_cfl:
-                    return self._fast.step
-            except Exception:  # traced wind: cannot evaluate the guard
-                pass
+        """Resolve the impl for this (wind, dt) pair.
+
+        MEASURED REFUTATION (v5e, round 5): the gather-free shift-algebra
+        evaluation — which matches the gather path to 1e-12 and looked like
+        a win from its zero-gather op count — runs at 16.7 ms/step on the
+        O64 advection benchmark versus the stencil-gather path's 3.8 ms.
+        Its (dj, di) shift lattice expands to ~460 masked shifted
+        multiplies of the padded plane, and at this grid size the step is
+        dispatch/VPU-op-bound, not gather-bound. 'auto' therefore keeps the
+        gather path; impl='shift' still selects the shift path explicitly
+        (its CFL contract is checked by the caller)."""
+        if self._fast is not None and self.impl == "shift":
+            return self._fast.step
         return self.step_gather
 
     def step_gather(self, q, u, v, dt):

@@ -829,13 +829,17 @@ def bench_conservative(args):
     from atlas_tpu.util.constants import EARTH_RADIUS, RAD2DEG
     dlon = 20.0 / EARTH_RADIUS * 1800.0 * RAD2DEG
     exact = np.cos(3 * np.deg2rad(ll[:, 0] - dlon))
-    # impl resolved EAGERLY (the shift path's CFL guard needs concrete
-    # wind); the chain below traces the selected callable
+    # impl resolved EAGERLY; 'auto' keeps the stencil-gather path — the
+    # shift-algebra formulation matches it to 1e-12 but MEASURED 4.4x
+    # SLOWER on-chip (16.7 vs 3.8 ms at O64: ~460 masked shifted
+    # multiplies are dispatch-bound at this size), so wiring it as the
+    # default was refuted; see SemiLagrangianAdvection.select_step
     sl_step = sl.select_step(u, v, dt)
     sl_impl = ("shift-algebra" if sl._fast is not None
                and sl_step == sl._fast.step else
-               "stencil-gather, packed props, linear trajectory")
-    sl_cov = sl.coverage(u, v, dt) if "shift" in sl_impl else 1.0
+               "stencil-gather, packed props, linear trajectory "
+               "(shift-algebra measured 4.4x slower on-chip)")
+    sl_cov = sl.coverage(u, v, dt) if "shift-algebra" == sl_impl else 1.0
     got_sl = np.asarray(sl_step(q, u, v, dt))
     sl_err = float(np.abs(got_sl - exact).max())
     assert sl_err < 5e-3, f"semilag vs analytic solid-body: {sl_err}"
