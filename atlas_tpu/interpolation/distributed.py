@@ -14,6 +14,14 @@ DistributedStructuredColumns box, and executes under shard_map:
 ppermute halo exchange -> per-shard gather-dot. Results are bit-identical
 to the serial execute because each target's dot uses the same values in the
 same order.
+
+STATUS: the per-shard apply is the flat gather-dot, not the serial
+windowed-MXU pass. Running WindowedELL per shard under shard_map needs the
+per-part window tables padded to SPMD-uniform class structures (same
+(B, W) ladder and block counts on every shard); the structured-grid
+distributed fast path was instead delivered as the band-sharded Pallas
+gradient (parallel/sharded_structured.py, bit-identical to serial) — the
+uniform-table windowed interpolation remains future work.
 """
 
 from __future__ import annotations
