@@ -254,8 +254,10 @@ class Pass1Kernel:
                 for (m, w, _, _) in self._band_tabs)
         return self._dev
 
-    def apply(self, field, t, tabs=None, interpret=False):
-        """field (npts, nch) + interp._sep_tables -> (ny, nxt, nch) tmp.
+    def apply(self, field, t, tabs=None, interpret=False, padded=False):
+        """field (npts, nch) + interp._sep_tables -> (ny, nxt, nch) tmp
+        (or (ny, nxt_pad, nch) with padded=True when every row runs in the
+        kernel — the Pallas pass 2 consumes the padded block directly).
 
         tabs: pass self.tables() explicitly when calling under an outer
         jit (closure-captured device tables get embedded as HLO
@@ -278,7 +280,10 @@ class Pass1Kernel:
                     interpret=interpret)[:nb_rows]
                 pieces.append(out_b)
             tmp_k = (pieces[0] if len(pieces) == 1
-                     else jnp.concatenate(pieces, axis=0))[:, : self.nxt]
+                     else jnp.concatenate(pieces, axis=0))
+            if full and padded:
+                return tmp_k
+            tmp_k = tmp_k[:, : self.nxt]
         if full:
             return tmp_k  # every row in kernel order: no scatter pass
         tmp = jnp.zeros((s.ny, self.nxt, self.nch), field.dtype)
@@ -294,4 +299,53 @@ class Pass1Kernel:
                 axis=1).reshape(len(self.small_rows), self.nxt, k, self.nch)
             tmp_s = (vals * t["wx"][sr][..., None]).sum(axis=2)
             tmp = tmp.at[sr].set(tmp_s)
+        if padded:
+            tmp = jnp.pad(tmp, ((0, 0), (0, self.nxt_pad - self.nxt),
+                                (0, 0)))
         return tmp
+
+
+# --------------------------------------------------------------- pass 2
+def build_pass2_kernel(nyp, ny, XC, nch):
+    def kernel(A_ref, tmp_ref, out_ref):
+        tmp = tmp_ref[...]  # (ny, XC * nch): pre-merged minor in XLA
+        vhi = tmp.astype(jnp.bfloat16)
+        vlo = (tmp - vhi.astype(tmp.dtype)).astype(jnp.bfloat16)
+        Ahl = A_ref[...]  # (2 nyp, ny) bf16 [hi; lo]
+        d1 = jax.lax.dot_general(Ahl, vhi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=tmp.dtype)
+        d2 = jax.lax.dot_general(Ahl, vlo, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=tmp.dtype)
+        out_ref[...] = d1[:nyp] + (d1[nyp:] + (d2[:nyp] + d2[nyp:]))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("nyp", "XC", "interpret"))
+def pass2_rows(Ahl, tmp, nyp, XC, interpret=False):
+    """Banded-GEMM pass 2 on the MXU with stacked-bf16 weights: Ahl
+    (2 nyp, ny) bf16 [hi; lo]; tmp (ny, nxt_pad, nch) -> (nyp, nxt_pad,
+    nch). Two single-pass bf16 dots realize all four hi/lo products
+    (~1e-6) — the XLA HIGHEST GEMM costs 6 passes (3.9 vs ~2 ms at
+    O320 -> 0.25 deg/64ch)."""
+    ny, nxt_pad, nch = tmp.shape
+    assert nxt_pad % XC == 0
+    kernel = build_pass2_kernel(nyp, ny, XC, nch)
+    tmp2 = tmp.reshape(ny, nxt_pad * nch)  # minor merge in XLA (free)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nxt_pad // XC,),
+        in_specs=[
+            pl.BlockSpec((2 * nyp, ny), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ny, XC * nch), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nyp, XC * nch), lambda c: (0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nyp, nxt_pad * nch), tmp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(110 * 2**20)),
+        interpret=interpret,
+    )(Ahl, tmp2)
+    return out.reshape(nyp, nxt_pad, nch)

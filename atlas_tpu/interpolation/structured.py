@@ -331,6 +331,25 @@ class StructuredInterpolation2D(Method):
             self._A2 = jnp.asarray(A, dtype)
         return self._A2
 
+    def _pass2_matrix_hl(self):
+        """Stacked [hi; lo] bf16 pass-2 matrix (2 nyp, ny) for the Pallas
+        pass-2 kernel, with nyp the target-row count padded to 8."""
+        if getattr(self, "_A2hl", None) is None:
+            import ml_dtypes
+
+            s = self._sep
+            nyt, k = s.rows.shape
+            nyp = -(-nyt // 8) * 8
+            A = np.zeros((nyp, s.ny), np.float32)
+            np.add.at(A, (np.repeat(np.arange(nyt), k),
+                          np.asarray(s.rows).ravel()),
+                      np.asarray(s.wy).ravel())
+            Ahi = A.astype(ml_dtypes.bfloat16)
+            Alo = (A - Ahi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            self._A2hl = (jnp.asarray(np.concatenate([Ahi, Alo], axis=0)),
+                          nyp, nyt)
+        return self._A2hl
+
     def execute(self, field):
         if self._sep is None:
             return super().execute(field)
@@ -347,10 +366,20 @@ class StructuredInterpolation2D(Method):
                     t["rows"], t["wy"], s.nxt, f2)
             elif jax.default_backend() in ("tpu", "axon"):
                 # on-chip fast path: Pallas pass 1 (period-doubled padded
-                # rows, 2x bf16 banded dots) + banded-GEMM pass 2
+                # rows, 2x bf16 banded dots) + Pallas stacked-bf16 pass 2
+                # (Mosaic needs a lane-clean (XC, nch) merge: small channel
+                # counts keep the XLA banded GEMM)
                 pk = self.pass1_kernel(f2.shape[-1])
-                tmp = pk.apply(f2, t, tabs=pk.tables())
-                out = _pass2_gemm(tmp, self._pass2_matrix(f2.dtype))
+                if f2.shape[-1] % 64 == 0:
+                    from .pallas_pass1 import pass2_rows
+
+                    tmp = pk.apply(f2, t, tabs=pk.tables(), padded=True)
+                    Ahl, nyp, nyt = self._pass2_matrix_hl()
+                    out = pass2_rows(Ahl, tmp, nyp, 16)[
+                        :nyt, : s.nxt].reshape(-1, f2.shape[-1])
+                else:
+                    tmp = pk.apply(f2, t, tabs=pk.tables())
+                    out = _pass2_gemm(tmp, self._pass2_matrix(f2.dtype))
             else:
                 out = _apply_windowed(
                     t["pad_gather"], t["win_start"], t["Wt"],
