@@ -27,8 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 # level-tile rows (f32 sublane groups); env override for tuning sweeps
-# LI=16 measured 2.59 -> 1.80 ms (0.40 -> 0.58 of the HBM roofline) on
-# the O320 x 64-level gradient vs LI=8, and within noise at O640 x 137
+# LI 8 vs 16 measured within run-to-run noise on both gradient configs
+# (O320 x 64: 2.6-2.8 ms either way; O640 x 137: 21-22 ms); 16 halves the
+# level-tile count so it is kept as the default
 LI = int(_os.environ.get("ATLAS_TPU_LI", "16"))
 TJ = int(_os.environ.get("ATLAS_TPU_TJ", "8"))  # row-tile
 
