@@ -31,12 +31,11 @@ class SemiLagrangianAdvection:
         by the fixed-point iteration, not the wind interpolant, and the 2x2
         stencil costs 4x fewer TPU gather rows.
 
-        impl: 'gather' = departure-point stencil gathers (general);
-        'shift' = the gather-free shift-algebra evaluation
-        (semilag_fast.py), valid while departure displacements stay within
-        max_cfl cells; 'auto' = shift with a per-step CFL guard that falls
-        back to the gather path when the wind exceeds the contract
-        (VERDICT r4 ask #3)."""
+        impl: 'gather' / 'auto' = departure-point stencil gathers (the
+        measured fast path on TPU — see select_step); 'shift' = the
+        gather-free shift-algebra evaluation (semilag_fast.py), valid while
+        departure displacements stay within max_cfl cells. Only 'shift'
+        pays the shift-path setup (its padded planes are sizeable)."""
         self.grid = grid
         self.radius = float(radius)
         self.iterations = int(iterations)
@@ -50,17 +49,12 @@ class SemiLagrangianAdvection:
         self.lon = jnp.asarray(ll[:, 0])
         self.lat = jnp.asarray(ll[:, 1])
         self._fast = None
-        if impl in ("auto", "shift"):
+        if impl == "shift":
             from .semilag_fast import SemiLagrangianFast
 
-            try:
-                self._fast = SemiLagrangianFast(
-                    grid, radius=self.radius, iterations=self.iterations,
-                    max_cfl=self.max_cfl)
-            except Exception:
-                if impl == "shift":
-                    raise
-                self._fast = None
+            self._fast = SemiLagrangianFast(
+                grid, radius=self.radius, iterations=self.iterations,
+                max_cfl=self.max_cfl)
 
     def cfl(self, u, v, dt):
         """Maximum departure displacement in grid cells (host float),

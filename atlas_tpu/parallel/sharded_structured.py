@@ -73,6 +73,11 @@ class ShardedStructuredFvm:
         SyG = np.asarray(self.serial.Sy)
         GG = np.asarray(self.serial.G)
 
+        # boundary window = ONE row tile of the kernel: 6 meaningful rows
+        # [halo_n, own0, own1, own_l-1, own_l, halo_s] + TJ-6 zero rows
+        # (TJ is env-overridable; the window padding must follow it)
+        assert TJ >= 6, "gradient row tile must cover the 6-row window"
+        self.tjs_w = TJ
         Sx = np.zeros((nparts, nk, ny_blk, nxw_pad), SxG.dtype)
         Sy = np.zeros_like(Sx)
         G = np.zeros((nparts, 2, ny_blk, nxw_pad), GG.dtype)
@@ -198,13 +203,14 @@ class ShardedStructuredFvm:
             gx, gy = gradient_pallas(runs, keys, tl["Sx"], tl["Sy"],
                                      tl["G"], ft, interpret=interpret)
 
-            # boundary rows: same kernel on the 8-row window
+            # boundary rows: same kernel on a one-tile (TJ-row) window
             first2 = ft[:, 0:2]
             last2 = jax.lax.dynamic_slice_in_dim(ft, nyl - 2, 2, 1)
-            zpad = jnp.zeros_like(first2)
+            zpad = jnp.zeros(
+                (ft.shape[0], TJ - 6) + ft.shape[2:], ft.dtype)
             win = jnp.concatenate(
                 [halo_n[:, None], first2, last2, halo_s[:, None], zpad],
-                axis=1)  # (lo, 8, LI, nxw_pad)
+                axis=1)  # (lo, TJ, LI, nxw_pad)
             wx, wy = gradient_pallas(runs_w, keys, tl["SxW"], tl["SyW"],
                                      tl["GW"], win, interpret=interpret)
             out = []

@@ -377,12 +377,21 @@ class TransDistributed:
             return out.at[:, :, :nx].set(vals) * pmask[None]
 
         ftabs = self.fourstep
+        # static split parameters close over; the DEVICE tables are threaded
+        # through shard_map as replicated operands (closure-captured device
+        # arrays get embedded as HLO constants on this platform)
+        fs_static = (None if ftabs is None
+                     else (ftabs["n1"], ftabs["n2"], ftabs["M2"]))
+        self._ftab_ops = (() if ftabs is None
+                          else (ftabs["E2r"], ftabs["E2i"], ftabs["EC"]))
 
-        def synth_rows_fourstep(c, xpts, pmask, row_mmax):
+        def synth_rows_fourstep(c, xpts, pmask, row_mmax, ft_ops):
             """Four-step GEMM-FFT synthesis per device (uniform rows): the
             serial fast Fourier algorithm under shard_map (fourier.py)."""
             from .fourier import fourstep_apply
 
+            E2r, E2i, EC = ft_ops
+            n1, n2, M2 = fs_static
             mm = jnp.arange(t + 1, dtype=dtype)
             a = c[..., 0]  # (nf, T+1, R)
             b = c[..., 1]
@@ -394,13 +403,16 @@ class TransDistributed:
             sph = jnp.sin(mm[:, None] * x0[None, :]) * valid
             Fre = (a * cph[None] - b * sph[None]).transpose(0, 2, 1)
             Fim = (a * sph[None] + b * cph[None]).transpose(0, 2, 1)
-            out = fourstep_apply(
-                Fre, Fim, ftabs["E2r"], ftabs["E2i"], ftabs["EC"],
-                ftabs["n1"], ftabs["n2"], ftabs["M2"], self.precision)
+            out = fourstep_apply(Fre, Fim, E2r, E2i, EC, n1, n2, M2,
+                                 self.precision)
             return out * pmask[None]
 
-        synth = (synth_rows_fourstep if ftabs is not None
-                 else synth_rows_regular if nx_uniform else synth_rows)
+        def synth(c, xpts, pmask, row_mmax, ft_ops):
+            if ftabs is not None:
+                return synth_rows_fourstep(c, xpts, pmask, row_mmax, ft_ops)
+            if nx_uniform:
+                return synth_rows_regular(c, xpts, pmask, row_mmax)
+            return synth_rows(c, xpts, pmask, row_mmax)
 
         def leg_apply(rhs, tabs):
             """rhs (Q, q) packed local coefs -> (S, A) each (mloc, half, q).
@@ -419,7 +431,7 @@ class TransDistributed:
                    else jnp.concatenate(xs, axis=0))
             return cat(S_parts), cat(A_parts)
 
-        def inv_kernel(rhs, tabs, xpts, pmask, row_mmax):
+        def inv_kernel(rhs, tabs, xpts, pmask, row_mmax, ft_ops):
             """rhs: (Q, nf*2) my packed wavenumbers -> (nf, R, nxmax)."""
             rhs = rhs[0]
             tabs = jax.tree_util.tree_map(
@@ -442,11 +454,12 @@ class TransDistributed:
             F = F.reshape(F.shape[0], npart * mloc, R, 2)
             # reorder source-device blocks to natural m order
             c = jnp.take(F, m_perm, axis=1)   # (nf, T+1, R, 2)
-            return synth(c, xpts, pmask, row_mmax)
+            return synth(c, xpts, pmask, row_mmax, ft_ops)
 
         leg_specs = jax.tree_util.tree_map(
             lambda a: P(ax) if a.ndim >= 3 else P(), self.leg_tables)
-        in_specs = (P(ax), leg_specs, P(ax), P(ax), P(ax))
+        ft_specs = tuple(P() for _ in self._ftab_ops)
+        in_specs = (P(ax), leg_specs, P(ax), P(ax), P(ax), ft_specs)
         self._inv = jax.jit(jax.shard_map(
             inv_kernel, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(None, ax),
@@ -556,7 +569,8 @@ class TransDistributed:
             jnp.asarray(self._coef_msharded(spectra), self.dtype),
             NamedSharding(self.mesh, P(self.AXIS)))
         blocks = self._inv(rhs, self.leg_tables,
-                           self.xpts, self.pmask, self.row_mmax)
+                           self.xpts, self.pmask, self.row_mmax,
+                           self._ftab_ops)
         blocks = np.asarray(blocks)            # (nf, np*R, nxmax)
         out = np.zeros((spectra.shape[0], self.grid.size), blocks.dtype)
         sel = self.gidx >= 0
@@ -572,7 +586,8 @@ class TransDistributed:
         leaving the mesh.
         """
         return self._inv(rhs_sharded, self.leg_tables,
-                         self.xpts, self.pmask, self.row_mmax)
+                         self.xpts, self.pmask, self.row_mmax,
+                         self._ftab_ops)
 
     def dirtrans(self, fields):
         """Grid fields -> packed spectra via distributed Gaussian quadrature."""

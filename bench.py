@@ -124,19 +124,34 @@ def bench_bicubic(args):
     # tables must be ARGUMENTS of the outer jit: closed-over device arrays
     # are embedded as HLO constants (a ~0.5 GB program upload)
     if s.Wt is not None and jax.default_backend() in ("tpu", "axon"):
-        from atlas_tpu.interpolation.pallas_pass1 import pass2_rows
-
-        impl = "pallas-pass1 + pallas-pass2"
         pk = interp.pass1_kernel(nlev)
-        Ahl, nyp, nyt_p2 = interp._pass2_matrix_hl()
-        ops = (pk.tables(), Ahl, t["pad_gather"], t["idx1"], t["wx"])
+        if nlev % 64 == 0:
+            # same guard as structured.execute: Mosaic needs a lane-clean
+            # (XC, nch) minor merge for the Pallas pass 2
+            from atlas_tpu.interpolation.pallas_pass1 import pass2_rows
 
-        def apply_fn(f, tabs):
-            ptabs, Ahl, pg, idx1, wx = tabs
-            tmp = pk.apply(f, {"pad_gather": pg, "idx1": idx1, "wx": wx},
-                           tabs=ptabs, padded=True)
-            return pass2_rows(Ahl, tmp, nyp, 16)[
-                :nyt_p2, : s.nxt].reshape(-1, f.shape[-1])
+            impl = "pallas-pass1 + pallas-pass2"
+            Ahl, nyp, nyt_p2 = interp._pass2_matrix_hl()
+            ops = (pk.tables(), Ahl, t["pad_gather"], t["idx1"], t["wx"])
+
+            def apply_fn(f, tabs):
+                ptabs, Ahl, pg, idx1, wx = tabs
+                tmp = pk.apply(f, {"pad_gather": pg, "idx1": idx1,
+                                   "wx": wx}, tabs=ptabs, padded=True)
+                return pass2_rows(Ahl, tmp, nyp, 16)[
+                    :nyt_p2, : s.nxt].reshape(-1, f.shape[-1])
+        else:
+            from atlas_tpu.interpolation.structured import _pass2_gemm
+
+            impl = "pallas-pass1 + gemm-pass2"
+            A2 = interp._pass2_matrix(dtype)
+            ops = (pk.tables(), A2, t["pad_gather"], t["idx1"], t["wx"])
+
+            def apply_fn(f, tabs):
+                ptabs, A2, pg, idx1, wx = tabs
+                tmp = pk.apply(f, {"pad_gather": pg, "idx1": idx1,
+                                   "wx": wx}, tabs=ptabs)
+                return _pass2_gemm(tmp, A2)
     elif s.Wt is not None:
         impl = "windowed-mxu"
         ops = (t["pad_gather"], t["win_start"], t["Wt"], t["rows"], t["wy"])

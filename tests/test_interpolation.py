@@ -243,3 +243,28 @@ def test_pallas_pass1_kernel_matches_windowed():
     assert len(pk.kernel_rows) > 0
     got = np.asarray(pk.apply(f, t, interpret=True))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_pass2_matches_gemm():
+    """Pallas stacked-bf16 pass 2 (interpret mode) reproduces the banded
+    y-combine to the hi/lo-split tolerance (~1e-5 over a k=4 band): all
+    four bf16 cross products are realized by the two stacked dots."""
+    import jax.numpy as jnp
+
+    from atlas_tpu.interpolation import Interpolation
+    from atlas_tpu.interpolation.pallas_pass1 import pass2_rows
+
+    src = Grid("O32")
+    tgt = Grid("L90x46")
+    interp = Interpolation("structured-bicubic", src, tgt)
+    s = interp._sep
+    nch = 64
+    rng = np.random.default_rng(1)
+    tmp = jnp.asarray(rng.standard_normal(
+        (s.ny, 128, nch)).astype(np.float32))  # nxt_pad-style block
+    Ahl, nyp, nyt = interp._pass2_matrix_hl()
+    got = np.asarray(pass2_rows(Ahl, tmp, nyp, 16, interpret=True))[:nyt]
+    A = np.asarray(interp._pass2_matrix(jnp.float32), np.float64)
+    ref = np.einsum("tj,jxc->txc", A, np.asarray(tmp, np.float64))
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 2e-5, err
